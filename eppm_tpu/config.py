@@ -1,0 +1,171 @@
+"""Configuration for the EPPM-TPU optical-flow engine.
+
+The reference implementation (linchaobao/EPPM) hardcodes every parameter as a
+compile-time ``#define`` in ``defs.h:31-91`` plus a handful of kernel-local
+macros.  Here they become frozen dataclasses so runs are configurable from the
+CLI / Python while the defaults reproduce the reference binary exactly.
+
+Reference parameter provenance (file:line into /root/reference):
+  - pyramid:      defs.h:31-34   (PYR_MAX_DEPTH=3, PYR_MIN_WIDTH=20, PYR_RATIO=0.5)
+  - patchmatch:   defs.h:36-48   (SEARCH_RANGE=30, SEARCH_RADIUS_MIN=1,
+                                  NUM_RAND_GUESS=6, PATCH_R=9, NUM_ITER=10,
+                                  PM_SIG_S=0.5*PATCH_R, PM_SIG_R=0.1)
+  - cost:         defs.h:51-52   (LAMBDA_AD=0.1, LAMBDA_CENSUS=0.3)
+                  bao_pmflow_kernel.cu:32 (CENSUS_MAX_DIFF=8)
+  - refinement:   defs.h:58-68   (WMF_RADIUS=4, WMF_SIG_S=4.0, WMF_SIG_R=0.02,
+                                  POSTPROC_BLF_SIG_S=5, STAT_RADIUS=6)
+                  bao_pmflow_refine_kernel.cu:146-147 (STAT_COUNT_THRESH,
+                  STAT_SIM_THRESH=2), :752 (POSTPROC_BLF_SIG_R=0.02)
+  - subpixel:     defs.h:72-76
+  - invalid flow: defs.h:84-91   (UNKNOWN_FLOW=1e10, UNKNOWN_FLOW_THRESH=1e9)
+  - scaled PM:    defs.h:40-41   (PM_SCALE_RANGE=9, PM_SCALE_MIN=4)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+# Sentinels, identical to the reference (defs.h:84-91,
+# bao_pmflow_refine_kernel.cu:46).
+UNKNOWN_FLOW = 1e10
+UNKNOWN_FLOW_THRESH = 1e9
+INVALID_LOCATION = -10000
+FLT_MAX = 3.402823466e38
+
+
+@dataclasses.dataclass(frozen=True)
+class PyramidConfig:
+    """Coarse-to-fine pyramid (defs.h:31-34)."""
+
+    max_depth: int = 3
+    ratio: float = 0.5
+    min_width: int = 20
+    # Pre-smoothing before pyramid construction
+    # (bao_pmflow_refine_kernel.cu:1063-1064: sigma=0.5, radius=2).
+    presmooth_sigma: float = 0.5
+    presmooth_radius: int = 2
+
+    def level_dims(self, h: int, w: int) -> Tuple[Tuple[int, int], ...]:
+        """Per-level (h, w), level 0 = full resolution.
+
+        Mirrors ``bao_pyr_init_dim`` (basic/bao_basic.h:196-211): dims are
+        ``int(h * ratio**i)`` — truncation, not rounding.
+        """
+        return tuple(
+            (int(h * self.ratio**i), int(w * self.ratio**i))
+            for i in range(max(self.max_depth, 1))
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class CostConfig:
+    """Bilateral AD+census patch cost (bao_pmflow_kernel.cu:255-301)."""
+
+    patch_radius: int = 9          # PATCH_R (defs.h:44)
+    patch_stride: int = 2          # "skip pixels" (bao_pmflow_kernel.cu:269-272)
+    sigma_spatial: float = 4.5     # PM_SIG_S = 0.5*PATCH_R (defs.h:47)
+    sigma_range: float = 0.1       # PM_SIG_R (defs.h:48)
+    lambda_ad: float = 0.1         # LAMBDA_AD (defs.h:51)
+    lambda_census: float = 0.3     # LAMBDA_CENSUS (defs.h:52)
+    census_max_diff: int = 8       # CENSUS_MAX_DIFF (bao_pmflow_kernel.cu:32)
+
+    @property
+    def tap_offsets(self) -> Tuple[Tuple[int, int], ...]:
+        """(dy, dx) tap offsets: -R..R with stride 2 -> 10x10 = 100 taps."""
+        r, s = self.patch_radius, self.patch_stride
+        rng = range(-r, r + 1, s)
+        return tuple((i, j) for i in rng for j in rng)
+
+
+@dataclasses.dataclass(frozen=True)
+class PatchMatchConfig:
+    """PatchMatch loop (defs.h:36-45, bao_pmflow_kernel.cu:1760-1826)."""
+
+    num_iters: int = 10            # NUM_ITER (defs.h:45)
+    num_random_guesses: int = 6    # NUM_RAND_GUESS (defs.h:38)
+    search_range: int = 30         # SEARCH_RANGE (defs.h:36)
+    search_radius_min: int = 1     # SEARCH_RADIUS_MIN (defs.h:37)
+    # TPU-native propagation: the reference's sequential 10-px segmented
+    # scanline sweeps (bao_pmflow_kernel.cu:979-1181) are restructured as
+    # Jacobi jump-flood rounds (the reference ships its own jump-flood
+    # variant at bao_pmflow_kernel.cu:800-857, proving the substitution is
+    # algorithmically acceptable).  Each round tries the 4 axial neighbors
+    # at each step distance, carrying the neighbor's *offset*.
+    prop_steps: Tuple[int, ...] = (8, 4, 2, 1)
+
+    def search_mags(self) -> Tuple[int, ...]:
+        """Shrinking search-window magnitudes, one per random guess.
+
+        Mirrors bao_pmflow_kernel.cu:1534,1564: start at SEARCH_RANGE and
+        halve while mag/2 >= SEARCH_RADIUS_MIN.
+        """
+        mags = []
+        mag = self.search_range
+        for _ in range(self.num_random_guesses):
+            mags.append(mag)
+            if mag // 2 >= self.search_radius_min:
+                mag //= 2
+        return tuple(mags)
+
+
+@dataclasses.dataclass(frozen=True)
+class RefineConfig:
+    """Post-PM refinement chain (defs.h:58-68, bao_pmflow_refine_kernel.cu)."""
+
+    # Left-right check (bao_pmflow_refine_kernel.cu:51)
+    lr_diff_thresh: int = 0
+    # Outlier removal (defs.h:68, bao_pmflow_refine_kernel.cu:146-147)
+    stat_radius: int = 6
+    stat_sim_thresh: int = 2
+    # Weighted median filter (defs.h:58-60)
+    wmf_radius: int = 4
+    wmf_sigma_spatial: float = 4.0
+    wmf_sigma_range: float = 0.02
+    wmf_coarse_iters: int = 20     # compute_flow .cpp:239 (occlusion-only x20)
+    # Post-process joint bilateral flow smoothing
+    # (defs.h:64, bao_pmflow_refine_kernel.cu:752-753)
+    blf_sigma_spatial: float = 5.0
+    blf_sigma_range: float = 0.02
+
+    @property
+    def stat_count_thresh(self) -> int:
+        d = 2 * self.stat_radius + 1
+        return (d * d) // 2
+
+    @property
+    def blf_radius(self) -> int:
+        return int(2 * self.blf_sigma_spatial)
+
+
+@dataclasses.dataclass(frozen=True)
+class SubpixelConfig:
+    """Subpixel refinement (defs.h:72-76); declared-but-unused in the
+    reference default path (bao_pmflow_refine_kernel.cu:393-722)."""
+
+    up_factor: float = 2.0
+    patch_radius: int = 9
+    sigma_spatial: float = 9.0
+    sigma_range: float = 0.2
+    neighborhood_radius: int = 2   # SUBPIX_NEIG_RADIUS (refine_kernel.cu:395)
+
+
+@dataclasses.dataclass(frozen=True)
+class EPPMConfig:
+    """Top-level configuration; defaults reproduce the reference binary."""
+
+    pyramid: PyramidConfig = PyramidConfig()
+    cost: CostConfig = CostConfig()
+    patchmatch: PatchMatchConfig = PatchMatchConfig()
+    refine: RefineConfig = RefineConfig()
+    subpixel: SubpixelConfig = SubpixelConfig()
+    seed: int = 1234               # reference cuRAND seed (bao_pmflow_kernel.cu:68)
+    max_flow: float = 200.0        # MAX_FLOW_VAL (defs.h:54), cutoff disabled
+                                   # in the default path (.cpp:288)
+
+    # Memory knob: taps evaluated per scan step inside the cost evaluator;
+    # bounds peak HBM for full-resolution candidate evaluation.
+    cost_tap_chunk: int = 25
+
+
+DEFAULT_CONFIG = EPPMConfig()

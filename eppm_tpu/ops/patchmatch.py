@@ -1,0 +1,183 @@
+"""PatchMatch nearest-neighbor-field search, TPU-native.
+
+Spec source: ``baoCudaPatchMatch`` (bao_pmflow_kernel.cu:1760-1826):
+random NNF init (:73-109) -> initial cost field (:636-645) -> NUM_ITER x
+{propagation; random search (:1519-1586)}.
+
+TPU-native redesign
+-------------------
+The reference's propagation is 4 sequential scanline sweeps over 10-pixel
+segments (:979-1181), one thread per segment — a shape that maps terribly
+onto SIMD vector units.  We restructure it as Jacobi jump-flood rounds: in
+each round every pixel simultaneously tries the offsets of its 4 axial
+neighbors at distance s for a schedule of step sizes (default 8,4,2,1).
+The reference itself ships a jump-flood propagation variant
+(``baoJumpPropagate``, :800-857), so the substitution is algorithmically
+sanctioned; the acceptance bar is final EPE, not per-iteration equivalence.
+
+Randomness: ``jax.random`` (threefry) with a fixed seed mirrors the
+reference's deterministic seed-1234 cuRAND streams (:68).  The NNF is kept
+as absolute int32 target coordinates, exactly like the reference's short2
+fields, so invalid-marking and the left-right check carry over unchanged.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CostConfig, PatchMatchConfig
+from .cost import patch_cost, patch_cost_candidates
+
+__all__ = ["random_init", "propagate_round", "random_search", "patchmatch"]
+
+
+def random_init(
+    key: jax.Array, h: int, w: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Uniform random absolute targets: x in [0, w], y in [0, h] inclusive
+    (d_gen_rand_field draws rand%(w+1), bao_pmflow_kernel.cu:97-98; the
+    one-past-the-end target reads clamped pixels and is culled by the
+    left-right check)."""
+    kx, ky = jax.random.split(key)
+    tx = jax.random.randint(kx, (h, w), 0, w + 1, dtype=jnp.int32)
+    ty = jax.random.randint(ky, (h, w), 0, h + 1, dtype=jnp.int32)
+    return tx, ty
+
+
+def _shift2d(a: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """Edge-clamped static shift: out[y, x] = a[clamp(y+dy), clamp(x+dx)]."""
+    h, w = a.shape
+    ady, adx = abs(dy), abs(dx)
+    padded = jnp.pad(a, ((ady, ady), (adx, adx)), mode="edge")
+    return padded[ady + dy : ady + dy + h, adx + dx : adx + dx + w]
+
+
+def _select_best(state, txs, tys, costs):
+    """Fold candidate fields (K, H, W) into (tx, ty, cost) keeping argmin.
+
+    Strict '<' comparison matches the reference acceptance test
+    (bao_pmflow_kernel.cu:1067, :1574): ties keep the incumbent.
+    """
+    tx, ty, cost = state
+    for k in range(txs.shape[0]):
+        better = costs[k] < cost
+        tx = jnp.where(better, txs[k], tx)
+        ty = jnp.where(better, tys[k], ty)
+        cost = jnp.where(better, costs[k], cost)
+    return tx, ty, cost
+
+
+def propagate_round(
+    pack1: jnp.ndarray,
+    pack2: jnp.ndarray,
+    tx: jnp.ndarray,
+    ty: jnp.ndarray,
+    cost: jnp.ndarray,
+    step: int,
+    cost_cfg: CostConfig,
+    tap_chunk: int = 25,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One Jacobi jump-flood round at step distance ``step``.
+
+    Each pixel tries the *offsets* of its 4 axial neighbors at distance
+    ``step`` (the segmented sweep at bao_pmflow_kernel.cu:1060-1076 carries
+    the previous pixel's offset via ``prev_disp.x+1``; at distance s that is
+    the neighbor's target shifted by s, clamped to the image like :1065).
+    """
+    h, w = tx.shape
+    cand_tx = []
+    cand_ty = []
+    for dy, dx in ((0, -step), (0, step), (-step, 0), (step, 0)):
+        # neighbor at (y+dy, x+dx); carrying its offset to (y, x) means
+        # target - (dy, dx)
+        ntx = _shift2d(tx, dy, dx) - dx
+        nty = _shift2d(ty, dy, dx) - dy
+        cand_tx.append(jnp.clip(ntx, 0, w - 1))
+        cand_ty.append(jnp.clip(nty, 0, h - 1))
+    txs = jnp.stack(cand_tx)
+    tys = jnp.stack(cand_ty)
+    costs = patch_cost_candidates(pack1, pack2, txs, tys, cost_cfg, tap_chunk)
+    return _select_best((tx, ty, cost), txs, tys, costs)
+
+
+def random_search(
+    key: jax.Array,
+    pack1: jnp.ndarray,
+    pack2: jnp.ndarray,
+    tx: jnp.ndarray,
+    ty: jnp.ndarray,
+    cost: jnp.ndarray,
+    pm_cfg: PatchMatchConfig,
+    cost_cfg: CostConfig,
+    tap_chunk: int = 25,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Shrinking-window random search (bao_pmflow_kernel.cu:1519-1586).
+
+    All guesses are drawn around the *incumbent* target (the reference
+    pre-generates every guess before the evaluation loop, so guesses do not
+    chain off each other): guess k is uniform in
+    [max(t-mag_k, 0), min(t+mag_k+1, dim+1)) per axis, mag halving from
+    SEARCH_RANGE down to SEARCH_RADIUS_MIN (:1560-1564).
+    """
+    h, w = tx.shape
+    mags = pm_cfg.search_mags()
+    keys = jax.random.split(key, 2 * len(mags))
+    cand_tx = []
+    cand_ty = []
+    for k, mag in enumerate(mags):
+        xmin = jnp.maximum(tx - mag, 0)
+        xmax = jnp.minimum(tx + mag + 1, w + 1)
+        ymin = jnp.maximum(ty - mag, 0)
+        ymax = jnp.minimum(ty + mag + 1, h + 1)
+        gx = jax.random.randint(keys[2 * k], (h, w), xmin, xmax, dtype=jnp.int32)
+        gy = jax.random.randint(
+            keys[2 * k + 1], (h, w), ymin, ymax, dtype=jnp.int32
+        )
+        cand_tx.append(gx)
+        cand_ty.append(gy)
+    txs = jnp.stack(cand_tx)
+    tys = jnp.stack(cand_ty)
+    costs = patch_cost_candidates(pack1, pack2, txs, tys, cost_cfg, tap_chunk)
+    return _select_best((tx, ty, cost), txs, tys, costs)
+
+
+@partial(
+    jax.jit, static_argnames=("pm_cfg", "cost_cfg", "tap_chunk")
+)
+def patchmatch(
+    pack1: jnp.ndarray,
+    pack2: jnp.ndarray,
+    key: jax.Array,
+    pm_cfg: PatchMatchConfig = PatchMatchConfig(),
+    cost_cfg: CostConfig = CostConfig(),
+    tap_chunk: int = 25,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Full PatchMatch (bao_pmflow_kernel.cu:1760-1826).
+
+    Returns (tx, ty, cost): absolute int32 target fields + float32 cost.
+    """
+    h, w = pack1.shape[0], pack1.shape[1]
+    init_key, loop_key = jax.random.split(key)
+    tx, ty = random_init(init_key, h, w)
+    cost = patch_cost(pack1, pack2, tx, ty, cost_cfg, tap_chunk)
+
+    def one_iter(i, state):
+        tx, ty, cost = state
+        for step in pm_cfg.prop_steps:
+            tx, ty, cost = propagate_round(
+                pack1, pack2, tx, ty, cost, step, cost_cfg, tap_chunk
+            )
+        iter_key = jax.random.fold_in(loop_key, i)
+        tx, ty, cost = random_search(
+            iter_key, pack1, pack2, tx, ty, cost, pm_cfg, cost_cfg, tap_chunk
+        )
+        return tx, ty, cost
+
+    tx, ty, cost = jax.lax.fori_loop(
+        0, pm_cfg.num_iters, one_iter, (tx, ty, cost)
+    )
+    return tx, ty, cost
