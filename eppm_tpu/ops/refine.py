@@ -1,0 +1,508 @@
+"""Flow refinement chain: left-right check, outlier removal, weighted
+median filtering, hole filling, NNF<->flow conversion, joint-bilateral flow
+smoothing, coarse-to-fine refinement, and the non-default extras (cutoff,
+still-region suppression).
+
+Spec source: bao_pmflow_refine_kernel.cu.  Every stage is a pure function
+of (target fields, cost, image); value-dependent control flow from the CUDA
+kernels (``continue``/early return) becomes masking.  The stages are VPU
+stencils expressed as chunked ``lax.scan`` over window offsets so the HLO
+stays compact and peak memory is bounded at ``chunk * H * W`` floats.
+
+Conventions (identical to the reference):
+  - NNF = absolute int32 target coordinates (tx, ty); INVALID_LOCATION marks
+    culled pixels, FLT_MAX their cost (refine_kernel.cu:46,62-63).
+  - A pixel is "occluded"/invalid when tx < 0 or ty < 0
+    (refine_kernel.cu:213,304).
+  - flow = target - position; unknown flow = 1e10 (:644-653).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import (
+    FLT_MAX,
+    INVALID_LOCATION,
+    UNKNOWN_FLOW,
+    UNKNOWN_FLOW_THRESH,
+    CostConfig,
+    RefineConfig,
+)
+from .cost import patch_cost_planefitting, patch_cost_ad_l2
+
+__all__ = [
+    "lr_check",
+    "outlier_removal",
+    "weighted_median_filter",
+    "fill_holes",
+    "nnf_to_flow",
+    "flow_to_nnf",
+    "flow_smoothing",
+    "blf_refine_flow",
+    "flow_cutoff",
+    "eliminate_still_region",
+]
+
+
+def _grid(h: int, w: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    return ys, xs
+
+
+def _window_offsets(radius: int, chunk: int):
+    """(n_chunks, chunk, 2) int offsets + (n_chunks, chunk) validity pad."""
+    offs = [(dy, dx) for dy in range(-radius, radius + 1)
+            for dx in range(-radius, radius + 1)]
+    n = len(offs)
+    n_pad = (-n) % chunk
+    offs += [(0, 0)] * n_pad
+    valid = [1.0] * n + [0.0] * n_pad
+    return (
+        np.asarray(offs, np.int32).reshape(-1, chunk, 2),
+        np.asarray(valid, np.float32).reshape(-1, chunk),
+    )
+
+
+def _lr_check_one(tx, ty, cost, tx2, ty2, thresh: int):
+    """One direction of d_left_right_check (refine_kernel.cu:53-76)."""
+    h, w = tx.shape
+    ys, xs = _grid(h, w)
+    oob = (tx < 0) | (tx >= w) | (ty < 0) | (ty >= h)
+    txc = jnp.clip(tx, 0, w - 1)
+    tyc = jnp.clip(ty, 0, h - 1)
+    idx = tyc * w + txc
+    back_x = jnp.take(tx2.reshape(-1), idx)
+    back_y = jnp.take(ty2.reshape(-1), idx)
+    incons = (jnp.abs(back_x - xs) > thresh) | (jnp.abs(back_y - ys) > thresh)
+    bad = oob | incons
+    inv = jnp.int32(INVALID_LOCATION)
+    return (
+        jnp.where(bad, inv, tx),
+        jnp.where(bad, inv, ty),
+        jnp.where(bad, FLT_MAX, cost),
+    )
+
+
+def lr_check(tx1, ty1, cost1, tx2, ty2, cost2, thresh: int = 0):
+    """Bidirectional left-right consistency check.
+
+    Matches the reference launch order (refine_kernel.cu:89-90): direction 1
+    is checked against the original field 2, then direction 2 against the
+    *already-culled* field 1 (the CUDA kernels run back-to-back on one
+    stream, so pass 2 sees pass 1's invalidations).
+    """
+    ntx1, nty1, nc1 = _lr_check_one(tx1, ty1, cost1, tx2, ty2, thresh)
+    ntx2, nty2, nc2 = _lr_check_one(tx2, ty2, cost2, ntx1, nty1, thresh)
+    return ntx1, nty1, nc1, ntx2, nty2, nc2
+
+
+def outlier_removal(
+    tx, ty, cost, cfg: RefineConfig = RefineConfig(), chunk: int = 13
+):
+    """Invalidate isolated displacements (refine_kernel.cu:149-193).
+
+    A non-occluded pixel survives when at least (2R+1)^2/2 in-image window
+    neighbors carry a displacement within +-STAT_SIM_THRESH in both
+    components.  Out-of-image neighbors are skipped (``continue``), so
+    border pixels see smaller windows against the same fixed threshold —
+    faithfully reproduced (corner pixels are always culled, as in CUDA).
+    """
+    h, w = tx.shape
+    r = cfg.stat_radius
+    ys, xs = _grid(h, w)
+    ox = (tx - xs).astype(jnp.float32)
+    oy = (ty - ys).astype(jnp.float32)
+    # sentinel pad: out-of-image neighbors never match
+    big = jnp.float32(1e9)
+    pox = jnp.pad(ox, r, constant_values=1e9)
+    poy = jnp.pad(oy, r, constant_values=1e9)
+
+    offs, valid = _window_offsets(r, chunk)
+
+    def tap(off, val):
+        dy, dx = off[0], off[1]
+        nox = jax.lax.dynamic_slice(pox, (r + dy, r + dx), (h, w))
+        noy = jax.lax.dynamic_slice(poy, (r + dy, r + dx), (h, w))
+        sim = (jnp.abs(nox - ox) <= cfg.stat_sim_thresh) & (
+            jnp.abs(noy - oy) <= cfg.stat_sim_thresh
+        )
+        return sim.astype(jnp.float32) * val
+
+    def step(acc, data):
+        off, val = data
+        return acc + jax.vmap(tap)(off, val).sum(0), None
+
+    count, _ = jax.lax.scan(
+        step,
+        jnp.zeros((h, w), jnp.float32),
+        (jnp.asarray(offs), jnp.asarray(valid)),
+    )
+    occluded = (tx < 0) & (ty < 0)  # skipped pixels (refine_kernel.cu:156)
+    cull = (~occluded) & (count < cfg.stat_count_thresh)
+    inv = jnp.int32(INVALID_LOCATION)
+    return (
+        jnp.where(cull, inv, tx),
+        jnp.where(cull, inv, ty),
+        jnp.where(cull, FLT_MAX, cost),
+    )
+
+
+def weighted_median_filter(
+    tx,
+    ty,
+    img,
+    cfg: RefineConfig = RefineConfig(),
+    num_iter: int = 1,
+    only_occlusion: bool = False,
+    support_chunk: int = 27,
+):
+    """Weighted-median displacement filter (refine_kernel.cu:206-286).
+
+    For each pixel, every valid displacement in the (2R+1)^2 window is a
+    candidate; the winner minimizes the bilateral-weighted L-inf deviation
+    from the (valid) window displacements.  The reference notes (:215-216)
+    this min-cost form replaces a histogram WMF for memory reasons; we keep
+    the same math.  CUDA iterates the kernel in place with racy reads; here
+    each iteration is a clean Jacobi pass (read old field, write new).
+    """
+    h, w = tx.shape
+    r = cfg.wmf_radius
+    sig_r2 = cfg.wmf_sigma_range**2
+    sig_s2 = cfg.wmf_sigma_spatial**2
+    ys, xs = _grid(h, w)
+
+    # spatial LUT folded into per-tap constants
+    all_offs = [(dy, dx) for dy in range(-r, r + 1) for dx in range(-r, r + 1)]
+    gws = np.asarray(
+        [
+            math.exp(-(dy * dy) / sig_s2) * math.exp(-(dx * dx) / sig_s2)
+            for dy, dx in all_offs
+        ],
+        np.float32,
+    )
+    offs_arr = np.asarray(all_offs, np.int32)
+    n = len(all_offs)
+    n_pad = (-n) % support_chunk
+    s_offs = np.concatenate([offs_arr, np.zeros((n_pad, 2), np.int32)])
+    s_gw = np.concatenate([gws, np.zeros(n_pad, np.float32)])
+    s_offs = s_offs.reshape(-1, support_chunk, 2)
+    s_gw = s_gw.reshape(-1, support_chunk)
+
+    center = img  # (H, W, 3)
+
+    def one_pass(tx, ty):
+        ox = (tx - xs).astype(jnp.float32)
+        oy = (ty - ys).astype(jnp.float32)
+        valid = ((tx >= 0) & (ty >= 0)).astype(jnp.float32)
+        # pad: out-of-image supports/candidates invalid
+        pox = jnp.pad(ox, r)
+        poy = jnp.pad(oy, r)
+        pvalid = jnp.pad(valid, r)  # zero outside
+        pimg = jnp.pad(img, ((r, r), (r, r), (0, 0)), mode="edge")
+
+        def support_weight(dy, dx, gw):
+            sv = jax.lax.dynamic_slice(pvalid, (r + dy, r + dx), (h, w))
+            spix = jax.lax.dynamic_slice(pimg, (r + dy, r + dx, 0), (h, w, 3))
+            d = jnp.abs(spix - center)
+            dr = jnp.maximum(jnp.maximum(d[..., 0], d[..., 1]), d[..., 2])
+            return sv * gw * jnp.exp(-(dr * dr) / sig_r2)
+
+        def support_vals(dy, dx):
+            sox = jax.lax.dynamic_slice(pox, (r + dy, r + dx), (h, w))
+            soy = jax.lax.dynamic_slice(poy, (r + dy, r + dx), (h, w))
+            return sox, soy
+
+        def cand_step(carry, coff):
+            best_cost, best_ox, best_oy = carry
+            cdy, cdx = coff[0], coff[1]
+            cvalid = jax.lax.dynamic_slice(pvalid, (r + cdy, r + cdx), (h, w))
+            cox, coy = support_vals(cdy, cdx)
+
+            def sup_step(acc, sdata):
+                cost_acc, w_acc = acc
+                soff, sgw = sdata
+                # invalid supports contribute nothing (their validity is a
+                # factor of the weight); padded taps have gw==0
+                ws = jax.vmap(
+                    lambda o, g: support_weight(o[0], o[1], g)
+                )(soff, sgw)
+                sox, soy = jax.vmap(lambda o: support_vals(o[0], o[1]))(soff)
+                dev = jnp.maximum(jnp.abs(cox - sox), jnp.abs(coy - soy))
+                return (cost_acc + (ws * dev).sum(0), w_acc + ws.sum(0)), None
+
+            (cost_sum, weight_sum), _ = jax.lax.scan(
+                sup_step,
+                (jnp.zeros((h, w), jnp.float32), jnp.zeros((h, w), jnp.float32)),
+                (jnp.asarray(s_offs), jnp.asarray(s_gw)),
+            )
+            cost_sum = jnp.where(cvalid > 0, cost_sum, FLT_MAX)
+            better = (weight_sum > 0) & (cost_sum < best_cost)
+            return (
+                jnp.where(better, cost_sum, best_cost),
+                jnp.where(better, cox, best_ox),
+                jnp.where(better, coy, best_oy),
+            ), None
+
+        init = (jnp.full((h, w), FLT_MAX, jnp.float32), ox, oy)
+        (best_cost, best_ox, best_oy), _ = jax.lax.scan(
+            cand_step, init, jnp.asarray(offs_arr)
+        )
+        found = best_cost < FLT_MAX
+        new_tx = jnp.where(
+            found, best_ox.astype(jnp.int32) + xs, tx
+        )
+        new_ty = jnp.where(found, best_oy.astype(jnp.int32) + ys, ty)
+        if only_occlusion:
+            occ = (tx < 0) | (ty < 0)  # refine_kernel.cu:213
+            new_tx = jnp.where(occ, new_tx, tx)
+            new_ty = jnp.where(occ, new_ty, ty)
+        return new_tx, new_ty
+
+    def body(_, state):
+        return one_pass(*state)
+
+    tx, ty = jax.lax.fori_loop(0, num_iter, body, (tx, ty))
+    return tx, ty
+
+
+def fill_holes(tx, ty, img):
+    """Fill remaining occlusions from the color-nearest of the first valid
+    displacement in each of the 4 scan directions (refine_kernel.cu:297-371).
+
+    The reference's unbounded per-thread scans become cumulative max/min
+    index propagations (O(H+W) scan depth -> lax.cummax), a TPU-native
+    reformulation with identical results.  Delta vs reference: when NO
+    direction holds a valid pixel, the CUDA code writes INVALID+pos
+    (:368-370); we keep INVALID (strictly better-defined, only reachable
+    when the whole image is occluded).
+    """
+    h, w = tx.shape
+    ys, xs = _grid(h, w)
+    valid = (tx >= 0) & (ty >= 0)
+    ox = (tx - xs).astype(jnp.float32)
+    oy = (ty - ys).astype(jnp.float32)
+
+    def nearest(axis: int, reverse: bool):
+        """Index (along ``axis``) of the nearest valid pixel strictly
+        before (reverse=False) / after (reverse=True) each position; -1
+        when none exists.  cummax of 'own index if valid else -1' yields
+        the nearest valid at-or-before; an exclusive one-step shift makes
+        it strictly-before.  The 'after' direction runs the same scan in a
+        flipped frame (indices rebuilt post-flip so cummax still finds the
+        *nearest*, i.e. smallest original index >= x)."""
+        size = w if axis == 1 else h
+        coords = xs if axis == 1 else ys
+        v = valid
+        if reverse:
+            v = jnp.flip(v, axis=axis)
+        idx = jnp.where(v, coords, -1)
+        acc = jax.lax.cummax(idx, axis=axis)
+        # exclusive shift: drop self, prepend "none"
+        pad = [(0, 0), (0, 0)]
+        pad[axis] = (1, 0)
+        acc = jnp.pad(acc, pad, constant_values=-1)
+        acc = jax.lax.slice_in_dim(acc, 0, size, axis=axis)
+        if reverse:
+            acc = jnp.flip(acc, axis=axis)
+            acc = jnp.where(acc >= 0, size - 1 - acc, -1)
+        return acc
+
+    dirs = []
+    for axis, reverse in ((1, False), (1, True), (0, False), (0, True)):
+        nidx = nearest(axis, reverse)
+        found = nidx >= 0
+        nidxc = jnp.clip(nidx, 0, (w if axis == 1 else h) - 1)
+        if axis == 1:
+            gox = jnp.take_along_axis(ox, nidxc, axis=1)
+            goy = jnp.take_along_axis(oy, nidxc, axis=1)
+            gpix = jnp.take_along_axis(img, nidxc[..., None], axis=1)
+        else:
+            gox = jnp.take_along_axis(ox, nidxc, axis=0)
+            goy = jnp.take_along_axis(oy, nidxc, axis=0)
+            gpix = jnp.take_along_axis(img, nidxc[..., None], axis=0)
+        d = jnp.abs(gpix - img)
+        pixdiff = jnp.maximum(jnp.maximum(d[..., 0], d[..., 1]), d[..., 2])
+        pixdiff = jnp.where(found, pixdiff, FLT_MAX)
+        dirs.append((pixdiff, gox, goy, found))
+
+    best_diff = jnp.full((h, w), FLT_MAX, jnp.float32)
+    best_ox, best_oy = ox, oy
+    any_found = jnp.zeros((h, w), bool)
+    for pixdiff, gox, goy, found in dirs:  # order: left, right, up, down
+        better = found & (pixdiff < best_diff)
+        best_diff = jnp.where(better, pixdiff, best_diff)
+        best_ox = jnp.where(better, gox, best_ox)
+        best_oy = jnp.where(better, goy, best_oy)
+        any_found = any_found | found
+
+    occ = ~valid
+    fill = occ & any_found
+    new_tx = jnp.where(fill, best_ox.astype(jnp.int32) + xs, tx)
+    new_ty = jnp.where(fill, best_oy.astype(jnp.int32) + ys, ty)
+    return new_tx, new_ty
+
+
+def nnf_to_flow(tx, ty):
+    """Absolute targets -> float offsets (refine_kernel.cu:636-655)."""
+    h, w = tx.shape
+    ys, xs = _grid(h, w)
+    invalid = (tx <= INVALID_LOCATION) | (ty <= INVALID_LOCATION)
+    u = jnp.where(invalid, UNKNOWN_FLOW, (tx - xs).astype(jnp.float32))
+    v = jnp.where(invalid, UNKNOWN_FLOW, (ty - ys).astype(jnp.float32))
+    return jnp.stack([u, v], axis=-1)
+
+
+def flow_to_nnf(flow):
+    """Float offsets -> absolute targets (refine_kernel.cu:657-676).
+
+    C float->short conversion truncates toward zero.
+    """
+    h, w = flow.shape[:2]
+    ys, xs = _grid(h, w)
+    u, v = flow[..., 0], flow[..., 1]
+    unknown = (u > UNKNOWN_FLOW_THRESH) | (v > UNKNOWN_FLOW_THRESH)
+    tx = jnp.trunc(u).astype(jnp.int32) + xs
+    ty = jnp.trunc(v).astype(jnp.int32) + ys
+    inv = jnp.int32(INVALID_LOCATION)
+    return jnp.where(unknown, inv, tx), jnp.where(unknown, inv, ty)
+
+
+def flow_smoothing(
+    flow, img, cfg: RefineConfig = RefineConfig(), chunk: int = 21
+):
+    """Joint-bilateral flow smoothing (refine_kernel.cu:764-826): guided by
+    the image, radius 2*sigma_s, skipping unknown-flow taps; pixels whose
+    window holds no known flow keep their value."""
+    h, w = flow.shape[:2]
+    r = cfg.blf_radius
+    sig_r2 = cfg.blf_sigma_range**2
+    sig_s2 = cfg.blf_sigma_spatial**2
+
+    pflow = jnp.pad(
+        flow, ((r, r), (r, r), (0, 0)), constant_values=UNKNOWN_FLOW
+    )
+    pimg = jnp.pad(img, ((r, r), (r, r), (0, 0)), mode="edge")
+
+    offs = [(dy, dx) for dy in range(-r, r + 1) for dx in range(-r, r + 1)]
+    gws = [
+        math.exp(-(dy * dy) / sig_s2) * math.exp(-(dx * dx) / sig_s2)
+        for dy, dx in offs
+    ]
+    n = len(offs)
+    n_pad = (-n) % chunk
+    offs += [(0, 0)] * n_pad
+    gws += [0.0] * n_pad
+    offs_a = np.asarray(offs, np.int32).reshape(-1, chunk, 2)
+    gws_a = np.asarray(gws, np.float32).reshape(-1, chunk)
+
+    def tap(off, gw):
+        dy, dx = off[0], off[1]
+        f = jax.lax.dynamic_slice(pflow, (r + dy, r + dx, 0), (h, w, 2))
+        p = jax.lax.dynamic_slice(pimg, (r + dy, r + dx, 0), (h, w, 3))
+        known = (f[..., 0] <= UNKNOWN_FLOW_THRESH) & (
+            f[..., 1] <= UNKNOWN_FLOW_THRESH
+        )
+        d = jnp.abs(p - img)
+        dr = jnp.maximum(jnp.maximum(d[..., 0], d[..., 1]), d[..., 2])
+        wgt = jnp.exp(-(dr * dr) / sig_r2) * gw * known.astype(jnp.float32)
+        fz = jnp.where(known[..., None], f, 0.0)
+        return wgt[..., None] * fz, wgt
+
+    def step(carry, data):
+        acc_f, acc_w = carry
+        off, gw = data
+        fs, ws = jax.vmap(tap)(off, gw)
+        return (acc_f + fs.sum(0), acc_w + ws.sum(0)), None
+
+    (fsum, wsum), _ = jax.lax.scan(
+        step,
+        (jnp.zeros((h, w, 2), jnp.float32), jnp.zeros((h, w), jnp.float32)),
+        (jnp.asarray(offs_a), jnp.asarray(gws_a)),
+    )
+    out = fsum / jnp.maximum(wsum, 1e-30)[..., None]
+    return jnp.where((wsum > 0)[..., None], out, flow)
+
+
+def blf_refine_flow(
+    flow,
+    pack1,
+    pack2,
+    cost_cfg: CostConfig = CostConfig(),
+    tap_chunk: int = 25,
+    sequential: bool = True,
+):
+    """3x3 plane-fitting cost re-search around the current flow target
+    (d_bilateral_refine_flow_planefitting, bao_pmflow_kernel.cu:2005-2041).
+
+    Candidate grid: center = trunc(flow) + pos, +-1 per axis; out-of-image
+    candidates are skipped; unknown flow resets to 0 and is skipped.
+    """
+    h, w = flow.shape[:2]
+    ys, xs = _grid(h, w)
+    u, v = flow[..., 0], flow[..., 1]
+    unknown = (u > UNKNOWN_FLOW_THRESH) | (v > UNKNOWN_FLOW_THRESH)
+    cx = jnp.trunc(jnp.where(unknown, 0.0, u)).astype(jnp.int32) + xs
+    cy = jnp.trunc(jnp.where(unknown, 0.0, v)).astype(jnp.int32) + ys
+
+    cand_tx, cand_ty, cand_inb = [], [], []
+    for m in (-1, 0, 1):
+        for n in (-1, 0, 1):
+            tx = cx + m
+            ty = cy + n
+            inb = (tx >= 0) & (tx < w) & (ty >= 0) & (ty < h)
+            cand_tx.append(jnp.clip(tx, 0, w - 1))
+            cand_ty.append(jnp.clip(ty, 0, h - 1))
+            cand_inb.append(inb)
+    txs = jnp.stack(cand_tx)
+    tys = jnp.stack(cand_ty)
+    inbs = jnp.stack(cand_inb)
+
+    fn = lambda t: patch_cost_planefitting(
+        pack1, pack2, t[0], t[1], cost_cfg, tap_chunk
+    )
+    if sequential:
+        costs = jax.lax.map(fn, (txs, tys))
+    else:
+        costs = jax.vmap(lambda a, b: patch_cost_planefitting(
+            pack1, pack2, a, b, cost_cfg, tap_chunk))(txs, tys)
+    costs = jnp.where(inbs, costs, FLT_MAX)
+
+    # initial best: the center candidate at sentinel cost 999999
+    # (bao_pmflow_kernel.cu:2020-2023)
+    best_cost = jnp.full((h, w), 999999.0, jnp.float32)
+    best_tx, best_ty = cx, cy
+    for k in range(9):
+        better = costs[k] < best_cost
+        best_cost = jnp.where(better, costs[k], best_cost)
+        best_tx = jnp.where(better, txs[k], best_tx)
+        best_ty = jnp.where(better, tys[k], best_ty)
+
+    out_u = (best_tx - xs).astype(jnp.float32)
+    out_v = (best_ty - ys).astype(jnp.float32)
+    out = jnp.stack([out_u, out_v], axis=-1)
+    return jnp.where(unknown[..., None], 0.0, out)
+
+
+def flow_cutoff(flow, max_val: float):
+    """Clamp to +-max_val (refine_kernel.cu:891-912; disabled by default)."""
+    return jnp.clip(flow, -max_val, max_val)
+
+
+def eliminate_still_region(
+    flow, img1, img2, cost_cfg: CostConfig = CostConfig(),
+    min_cost: float = 0.1,
+):
+    """Zero flow where the identity displacement already matches well
+    (baoEliminateStillRegionFlow, bao_pmflow_kernel.cu:2072-2095; disabled
+    in the default path)."""
+    h, w = flow.shape[:2]
+    ys, xs = _grid(h, w)
+    cost = patch_cost_ad_l2(img1, img2, xs, ys, cost_cfg)
+    return jnp.where((cost <= min_cost)[..., None], 0.0, flow)

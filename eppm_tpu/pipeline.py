@@ -1,0 +1,187 @@
+"""The full EPPM optical-flow pipeline as one jitted pure function.
+
+Spec source: ``bao_flow_patchmatch_multiscale_cuda::compute_flow``
+(bao_flow_patchmatch_multiscale_cuda.cpp:217-315) and ``_prepare_data``
+(:212-215).  Default-path stage order, faithfully reproduced:
+
+  prepare (refine_kernel.cu:1059-1071):
+    Gaussian pre-smooth (sigma .5, r 2) -> Gaussian pyramid (3 levels,
+    ratio .5) -> census transform per level
+  coarsest level (.cpp:223-258):
+    PatchMatch fwd + bwd -> left-right check (both dirs) -> outlier
+    removal -> weighted median filter (20 iters, occlusions only) ->
+    hole fill -> NNF-to-flow
+  each finer level (.cpp:275-282):
+    bilinear upsample x2 + scale x2 -> 3x3 plane-fitting cost re-search
+    (baoCudaBLF_C2F, refine_kernel.cu:1076-1087) -> joint-bilateral flow
+    smoothing
+  level 0 (.cpp:289): one extra joint-bilateral smoothing
+
+Fidelity note: the reference also calls the WMF on
+``m_disp_vec1_pyramid[nlayer]`` inside the fine-level loop (.cpp:281), but
+at fine levels that buffer holds uninitialized device memory (only the
+coarsest level is ever written, .cpp:223) and its output is never read —
+the call is dead.  We omit it by default and offer ``fine_level_wmf=True``
+to run what the author apparently intended (flow -> NNF -> one full-image
+WMF pass -> flow).
+
+Unlike the reference — which crosses host<->device three times and runs ~40
+kernel launches — the whole pipeline here is a single XLA program: one
+``jit``, zero intermediate host transfers (SURVEY.md section 3.3).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .config import DEFAULT_CONFIG, EPPMConfig
+from .ops.census import census_transform
+from .ops.cost import pack_frame
+from .ops.patchmatch import patchmatch
+from .ops.refine import (
+    blf_refine_flow,
+    fill_holes,
+    flow_smoothing,
+    lr_check,
+    nnf_to_flow,
+    flow_to_nnf,
+    outlier_removal,
+    weighted_median_filter,
+)
+from .ops.resize import bilinear_resize, gaussian_filter, gaussian_pyramid
+
+__all__ = ["prepare_pyramids", "compute_flow", "compute_flow_jit", "EPPMFlow"]
+
+
+def _normalize(img: jnp.ndarray) -> jnp.ndarray:
+    """uint8 [0,255] or float [0,1] -> float32 [0,1] (the reference reads
+    uchar4 textures in normalized-float mode, bao_pmflow_kernel.cu:36-37)."""
+    if img.dtype == jnp.uint8:
+        return img.astype(jnp.float32) / 255.0
+    return img.astype(jnp.float32)
+
+
+def prepare_pyramids(
+    img: jnp.ndarray, cfg: EPPMConfig
+) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
+    """Pre-smooth, build the Gaussian pyramid, census-transform each level,
+    and pack (rgb, census) frames (baoCudaPatchMatchMultiscalePrepare,
+    refine_kernel.cu:1059-1071).  Returns (image levels, packed levels)."""
+    img = _normalize(img)
+    h, w = img.shape[0], img.shape[1]
+    dims = cfg.pyramid.level_dims(h, w)
+    smoothed = gaussian_filter(
+        img, cfg.pyramid.presmooth_sigma, cfg.pyramid.presmooth_radius
+    )
+    levels = gaussian_pyramid(smoothed, dims, cfg.pyramid.ratio)
+    packs = [pack_frame(lv, census_transform(lv)) for lv in levels]
+    return levels, packs
+
+
+def compute_flow(
+    img1: jnp.ndarray,
+    img2: jnp.ndarray,
+    key: Optional[jax.Array] = None,
+    cfg: EPPMConfig = DEFAULT_CONFIG,
+    fine_level_wmf: bool = False,
+) -> jnp.ndarray:
+    """Dense flow frame1 -> frame2 for an (H, W, 3) pair; returns (H, W, 2).
+
+    ``key`` defaults to PRNGKey(cfg.seed), mirroring the reference's fixed
+    cuRAND seed 1234 (bao_pmflow_kernel.cu:68) — results are deterministic.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(cfg.seed)
+    k_fwd, k_bwd = jax.random.split(key)
+
+    levels1, packs1 = prepare_pyramids(img1, cfg)
+    levels2, packs2 = prepare_pyramids(img2, cfg)
+    top = len(packs1) - 1
+
+    # --- coarsest level: bidirectional PatchMatch (+ refinement) ---
+    tx1, ty1, c1 = patchmatch(
+        packs1[top], packs2[top], k_fwd, cfg.patchmatch, cfg.cost,
+        cfg.cost_tap_chunk,
+    )
+    tx2, ty2, c2 = patchmatch(
+        packs2[top], packs1[top], k_bwd, cfg.patchmatch, cfg.cost,
+        cfg.cost_tap_chunk,
+    )
+    tx1, ty1, c1, tx2, ty2, c2 = lr_check(
+        tx1, ty1, c1, tx2, ty2, c2, cfg.refine.lr_diff_thresh
+    )
+    tx1, ty1, c1 = outlier_removal(tx1, ty1, c1, cfg.refine)
+    tx1, ty1 = weighted_median_filter(
+        tx1, ty1, levels1[top], cfg.refine,
+        num_iter=cfg.refine.wmf_coarse_iters, only_occlusion=True,
+    )
+    tx1, ty1 = fill_holes(tx1, ty1, levels1[top])
+    flow = nnf_to_flow(tx1, ty1)
+
+    # --- coarse-to-fine (.cpp:275-289) ---
+    ratio_up = 1.0 / cfg.pyramid.ratio
+    for lvl in range(top - 1, -1, -1):
+        oh, ow = packs1[lvl].shape[0], packs1[lvl].shape[1]
+        flow = bilinear_resize(flow, oh, ow, ratio_up) * ratio_up
+        flow = blf_refine_flow(
+            flow, packs1[lvl], packs2[lvl], cfg.cost, cfg.cost_tap_chunk
+        )
+        flow = flow_smoothing(flow, levels1[lvl], cfg.refine)
+        if fine_level_wmf:
+            ftx, fty = flow_to_nnf(flow)
+            ftx, fty = weighted_median_filter(
+                ftx, fty, levels1[lvl], cfg.refine, num_iter=1,
+                only_occlusion=False,
+            )
+            flow = nnf_to_flow(ftx, fty)
+
+    flow = flow_smoothing(flow, levels1[0], cfg.refine)
+    return flow
+
+
+# jitted entry point; cfg/fine_level_wmf are compile-time
+compute_flow_jit = jax.jit(
+    compute_flow, static_argnames=("cfg", "fine_level_wmf")
+)
+
+
+class EPPMFlow:
+    """Object API mirroring the reference orchestrator
+    (bao_flow_patchmatch_multiscale_cuda.h:33-44): ``init(h, w)``,
+    ``set_data(img1, img2)``, ``compute_flow()``.
+
+    Thin stateful wrapper over the pure pipeline; useful for streaming
+    frame pairs at a fixed resolution (the jit cache keys on shape).
+    """
+
+    def __init__(self, cfg: EPPMConfig = DEFAULT_CONFIG):
+        self.cfg = cfg
+        self._shape: Optional[Tuple[int, int]] = None
+        self._img1 = None
+        self._img2 = None
+
+    def init(self, h: int, w: int) -> "EPPMFlow":
+        self._shape = (h, w)
+        return self
+
+    def set_data(self, img1, img2) -> "EPPMFlow":
+        img1 = jnp.asarray(img1)
+        img2 = jnp.asarray(img2)
+        if self._shape is None:
+            self._shape = (img1.shape[0], img1.shape[1])
+        if img1.shape[:2] != self._shape or img2.shape[:2] != self._shape:
+            raise ValueError(
+                f"frame shape {img1.shape[:2]}/{img2.shape[:2]} != "
+                f"init shape {self._shape}"
+            )
+        self._img1, self._img2 = img1, img2
+        return self
+
+    def compute_flow(self, key: Optional[jax.Array] = None) -> jnp.ndarray:
+        if self._img1 is None:
+            raise RuntimeError("set_data() must be called before compute_flow()")
+        return compute_flow_jit(self._img1, self._img2, key, self.cfg)

@@ -1,0 +1,144 @@
+"""End-to-end pipeline tests on synthetic pairs with known ground truth.
+
+The reference repo bundles no GT .flo (SURVEY.md section 4), so accuracy
+gates use synthetic warps where EPPM must recover the flow: uniform
+translation and a smooth affine-ish field.  Sizes/iterations are trimmed
+for CPU CI; the full-parameter Grove run happens in bench.py on TPU.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from eppm_tpu.config import (
+    EPPMConfig,
+    PatchMatchConfig,
+    PyramidConfig,
+    RefineConfig,
+)
+from eppm_tpu.metrics import flow_error
+from eppm_tpu.pipeline import EPPMFlow, compute_flow, compute_flow_jit
+
+
+def _test_cfg(depth=2):
+    return EPPMConfig(
+        pyramid=PyramidConfig(max_depth=depth),
+        patchmatch=PatchMatchConfig(num_iters=4, prop_steps=(4, 2, 1)),
+        refine=RefineConfig(wmf_coarse_iters=5),
+    )
+
+
+def _textured(rng, h, w):
+    """Smooth random texture (pure noise defeats bilinear warping)."""
+    small = rng.random((h // 4 + 2, w // 4 + 2, 3)).astype(np.float32)
+    img = np.asarray(
+        jax.image.resize(jnp.asarray(small), (h + 8, w + 8, 3), "cubic")
+    )[:h, :w]
+    return np.clip(img, 0, 1)
+
+
+def _warp(img, flow):
+    """img1(x) = img2(x + flow): build frame 1 by sampling frame 2."""
+    h, w = img.shape[:2]
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
+    fx = np.clip(xs + flow[..., 0], 0, w - 1)
+    fy = np.clip(ys + flow[..., 1], 0, h - 1)
+    x0 = np.floor(fx).astype(int)
+    y0 = np.floor(fy).astype(int)
+    x1 = np.minimum(x0 + 1, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    ax = (fx - x0)[..., None]
+    ay = (fy - y0)[..., None]
+    return (
+        img[y0, x0] * (1 - ax) * (1 - ay)
+        + img[y0, x1] * ax * (1 - ay)
+        + img[y1, x0] * (1 - ax) * ay
+        + img[y1, x1] * ax * ay
+    ).astype(np.float32)
+
+
+def test_uniform_shift_epe(rng):
+    h, w, sx, sy = 64, 80, 5, 3
+    img2 = _textured(rng, h, w)
+    gt = np.zeros((h, w, 2), np.float32)
+    gt[..., 0], gt[..., 1] = sx, sy
+    img1 = _warp(img2, gt)
+    flow = np.asarray(
+        compute_flow(jnp.asarray(img1), jnp.asarray(img2), cfg=_test_cfg())
+    )
+    b = 10
+    epe, _ = flow_error(flow[b:-b, b:-b], gt[b:-b, b:-b])
+    assert epe < 1.0, f"uniform-shift EPE {epe:.3f}"
+
+
+def test_smooth_flow_epe(rng):
+    h, w = 64, 80
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    gt = np.zeros((h, w, 2), np.float32)
+    gt[..., 0] = 3.0 + 2.0 * xs / w          # 3..5 px horizontally
+    gt[..., 1] = 2.0 * ys / h                # 0..2 px vertically
+    img2 = _textured(rng, h, w)
+    img1 = _warp(img2, gt)
+    flow = np.asarray(
+        compute_flow(jnp.asarray(img1), jnp.asarray(img2), cfg=_test_cfg())
+    )
+    b = 10
+    epe, _ = flow_error(flow[b:-b, b:-b], gt[b:-b, b:-b])
+    assert epe < 1.5, f"smooth-flow EPE {epe:.3f}"
+
+
+def test_pipeline_deterministic(rng):
+    h, w = 48, 64
+    img2 = _textured(rng, h, w)
+    img1 = np.roll(img2, -3, axis=1)
+    cfg = _test_cfg()
+    f1 = np.asarray(compute_flow_jit(jnp.asarray(img1), jnp.asarray(img2), cfg=cfg))
+    f2 = np.asarray(compute_flow_jit(jnp.asarray(img1), jnp.asarray(img2), cfg=cfg))
+    np.testing.assert_array_equal(f1, f2)
+
+
+def test_pipeline_uint8_input(rng):
+    h, w = 48, 64
+    img2 = (_textured(rng, h, w) * 255).astype(np.uint8)
+    img1 = np.roll(img2, -3, axis=1)
+    flow = np.asarray(
+        compute_flow(jnp.asarray(img1), jnp.asarray(img2), cfg=_test_cfg())
+    )
+    assert flow.shape == (h, w, 2)
+    assert np.isfinite(flow).all()
+    b = 10
+    assert abs(np.median(flow[b:-b, b:-b, 0]) - 3.0) <= 1.0
+
+
+def test_object_api(rng):
+    h, w = 48, 64
+    img2 = (_textured(rng, h, w) * 255).astype(np.uint8)
+    img1 = np.roll(img2, -2, axis=1)
+    engine = EPPMFlow(_test_cfg())
+    engine.init(h, w)
+    with pytest.raises(RuntimeError):
+        engine.compute_flow()
+    with pytest.raises(ValueError):
+        engine.set_data(img1[: h // 2], img2)
+    flow = np.asarray(engine.set_data(img1, img2).compute_flow())
+    assert flow.shape == (h, w, 2)
+    assert np.isfinite(flow).all()
+
+
+def test_fine_level_wmf_option(rng):
+    """The 'intended' fine-level WMF path also produces sane flow."""
+    h, w = 48, 64
+    img2 = _textured(rng, h, w)
+    img1 = np.roll(img2, -3, axis=1)
+    flow = np.asarray(
+        compute_flow(
+            jnp.asarray(img1), jnp.asarray(img2), cfg=_test_cfg(),
+            fine_level_wmf=True,
+        )
+    )
+    assert np.isfinite(flow).all()
+    b = 10
+    assert abs(np.median(flow[b:-b, b:-b, 0]) - 3.0) <= 1.0

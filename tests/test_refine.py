@@ -1,0 +1,334 @@
+"""Refinement-stage tests against literal NumPy oracles of the reference
+CUDA kernels (bao_pmflow_refine_kernel.cu)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from eppm_tpu.config import (
+    FLT_MAX,
+    INVALID_LOCATION,
+    UNKNOWN_FLOW,
+    CostConfig,
+    RefineConfig,
+)
+from eppm_tpu.ops.refine import (
+    fill_holes,
+    flow_smoothing,
+    flow_to_nnf,
+    lr_check,
+    nnf_to_flow,
+    outlier_removal,
+    weighted_median_filter,
+)
+
+
+def _clamp(v, lo, hi):
+    return max(lo, min(hi, v))
+
+
+# ---------- left-right check ----------
+
+def oracle_lr_one(tx, ty, cost, tx2, ty2, thresh=0):
+    h, w = tx.shape
+    otx, oty, oc = tx.copy(), ty.copy(), cost.copy()
+    for y in range(h):
+        for x in range(w):
+            X, Y = tx[y, x], ty[y, x]
+            if X < 0 or X >= w or Y < 0 or Y >= h:
+                otx[y, x] = oty[y, x] = INVALID_LOCATION
+                oc[y, x] = FLT_MAX
+            elif abs(tx2[Y, X] - x) > thresh or abs(ty2[Y, X] - y) > thresh:
+                otx[y, x] = oty[y, x] = INVALID_LOCATION
+                oc[y, x] = FLT_MAX
+    return otx, oty, oc
+
+
+def test_lr_check_matches_oracle(rng):
+    h, w = 9, 11
+    tx1 = rng.integers(-2, w + 2, (h, w)).astype(np.int32)
+    ty1 = rng.integers(-2, h + 2, (h, w)).astype(np.int32)
+    tx2 = rng.integers(0, w, (h, w)).astype(np.int32)
+    ty2 = rng.integers(0, h, (h, w)).astype(np.int32)
+    c1 = rng.random((h, w)).astype(np.float32)
+    c2 = rng.random((h, w)).astype(np.float32)
+    # make some pixels mutually consistent
+    for y in range(0, h, 2):
+        for x in range(0, w, 2):
+            X, Y = (x + 1) % w, y
+            tx1[y, x], ty1[y, x] = X, Y
+            tx2[Y, X], ty2[Y, X] = x, y
+    got = lr_check(*(jnp.asarray(a) for a in (tx1, ty1, c1, tx2, ty2, c2)))
+    w1 = oracle_lr_one(tx1, ty1, c1, tx2, ty2)
+    w2 = oracle_lr_one(tx2, ty2, c2, w1[0], w1[1])  # pass 2 sees pass 1
+    for g, want in zip(got, w1 + w2):
+        np.testing.assert_array_equal(np.asarray(g), want)
+
+
+def test_lr_check_keeps_consistent_pixels():
+    h = w = 4
+    ys, xs = np.mgrid[0:h, 0:w]
+    tx1 = ((xs + 1) % w).astype(np.int32)  # shift right with wrap
+    ty1 = ys.astype(np.int32)
+    # backward field maps back exactly
+    tx2 = ((xs - 1) % w).astype(np.int32)
+    ty2 = ys.astype(np.int32)
+    c = np.zeros((h, w), np.float32)
+    r = lr_check(*(jnp.asarray(a) for a in (tx1, ty1, c, tx2, ty2, c)))
+    np.testing.assert_array_equal(np.asarray(r[0]), tx1)
+    assert (np.asarray(r[2]) < FLT_MAX).all()
+
+
+# ---------- outlier removal ----------
+
+def oracle_outlier(tx, ty, cost, cfg):
+    h, w = tx.shape
+    r, sim, thresh = cfg.stat_radius, cfg.stat_sim_thresh, cfg.stat_count_thresh
+    otx, oty, oc = tx.copy(), ty.copy(), cost.copy()
+    for y in range(h):
+        for x in range(w):
+            if tx[y, x] < 0 and ty[y, x] < 0:
+                continue
+            cu, cv = tx[y, x] - x, ty[y, x] - y
+            count = 0
+            for dy in range(-r, r + 1):
+                for dx in range(-r, r + 1):
+                    cy, cx = y + dy, x + dx
+                    if cx < 0 or cy < 0 or cx >= w or cy >= h:
+                        continue
+                    nu, nv = tx[cy, cx] - cx, ty[cy, cx] - cy
+                    if abs(nu - cu) <= sim and abs(nv - cv) <= sim:
+                        count += 1
+            if count < thresh:
+                otx[y, x] = oty[y, x] = INVALID_LOCATION
+                oc[y, x] = FLT_MAX
+    return otx, oty, oc
+
+
+def test_outlier_removal_matches_oracle(rng):
+    cfg = RefineConfig(stat_radius=2)
+    h, w = 12, 14
+    ys, xs = np.mgrid[0:h, 0:w]
+    # mostly-constant field with a few outliers
+    tx = (xs + 3).astype(np.int32)
+    ty = (ys + 1).astype(np.int32)
+    for _ in range(6):
+        y, x = rng.integers(0, h), rng.integers(0, w)
+        tx[y, x] = rng.integers(0, w)
+        ty[y, x] = rng.integers(0, h)
+    cost = rng.random((h, w)).astype(np.float32)
+    got = outlier_removal(
+        jnp.asarray(tx), jnp.asarray(ty), jnp.asarray(cost), cfg
+    )
+    want = oracle_outlier(tx, ty, cost, cfg)
+    for g, wv in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), wv)
+
+
+# ---------- weighted median filter ----------
+
+def oracle_wmf(tx, ty, img, cfg, only_occlusion):
+    h, w = tx.shape
+    r = cfg.wmf_radius
+    sig_r2, sig_s2 = cfg.wmf_sigma_range**2, cfg.wmf_sigma_spatial**2
+    otx, oty = tx.copy(), ty.copy()
+    for y in range(h):
+        for x in range(w):
+            if only_occlusion and tx[y, x] >= 0 and ty[y, x] >= 0:
+                continue
+            best = None
+            min_cost = np.inf
+            for dy in range(-r, r + 1):
+                for dx in range(-r, r + 1):
+                    cy, cx = y + dy, x + dx
+                    if cx < 0 or cy < 0 or cx >= w or cy >= h:
+                        continue
+                    if tx[cy, cx] < 0 or ty[cy, cx] < 0:
+                        continue
+                    cu, cv = tx[cy, cx] - cx, ty[cy, cx] - cy
+                    cost_sum, weight_sum = np.float32(0), np.float32(0)
+                    for sy in range(-r, r + 1):
+                        for sx in range(-r, r + 1):
+                            py, px = y + sy, x + sx
+                            if px < 0 or py < 0 or px >= w or py >= h:
+                                continue
+                            if tx[py, px] < 0 or ty[py, px] < 0:
+                                continue
+                            su, sv = tx[py, px] - px, ty[py, px] - py
+                            dr = np.max(np.abs(img[py, px] - img[y, x]))
+                            # f32 exp like CUDA __expf: tiny weights
+                            # underflow to zero, not 1e-300
+                            wgt = np.float32(
+                                np.exp(np.float32(-dr * dr / sig_r2))
+                            ) * np.float32(
+                                np.exp(-(sx * sx) / sig_s2)
+                            ) * np.float32(np.exp(-(sy * sy) / sig_s2))
+                            cost_sum += wgt * np.float32(
+                                max(abs(cu - su), abs(cv - sv))
+                            )
+                            weight_sum += wgt
+                    if weight_sum > 0 and cost_sum < min_cost:
+                        min_cost = cost_sum
+                        best = (cu + x, cv + y)
+            if best is not None and best[0] >= 0 and best[1] >= 0:
+                otx[y, x], oty[y, x] = best
+    return otx, oty
+
+
+def _field_with_holes(rng, h, w):
+    ys, xs = np.mgrid[0:h, 0:w]
+    tx = (xs + 2).astype(np.int32)
+    ty = ys.astype(np.int32)
+    for _ in range(8):
+        y, x = rng.integers(0, h), rng.integers(0, w)
+        tx[y, x] = ty[y, x] = INVALID_LOCATION
+    img = rng.random((h, w, 3)).astype(np.float32)
+    return tx, ty, img
+
+
+def test_wmf_matches_oracle_occlusion_mode(rng):
+    cfg = RefineConfig(wmf_radius=2, wmf_sigma_spatial=2.0, wmf_sigma_range=0.5)
+    tx, ty, img = _field_with_holes(rng, 10, 12)
+    got = weighted_median_filter(
+        jnp.asarray(tx), jnp.asarray(ty), jnp.asarray(img), cfg,
+        num_iter=1, only_occlusion=True,
+    )
+    want = oracle_wmf(tx, ty, img, cfg, True)
+    np.testing.assert_array_equal(np.asarray(got[0]), want[0])
+    np.testing.assert_array_equal(np.asarray(got[1]), want[1])
+
+
+def test_wmf_matches_oracle_full(rng):
+    cfg = RefineConfig(wmf_radius=1, wmf_sigma_spatial=1.0, wmf_sigma_range=0.5)
+    tx, ty, img = _field_with_holes(rng, 8, 9)
+    got = weighted_median_filter(
+        jnp.asarray(tx), jnp.asarray(ty), jnp.asarray(img), cfg,
+        num_iter=1, only_occlusion=False,
+    )
+    want = oracle_wmf(tx, ty, img, cfg, False)
+    np.testing.assert_array_equal(np.asarray(got[0]), want[0])
+    np.testing.assert_array_equal(np.asarray(got[1]), want[1])
+
+
+# ---------- hole filling ----------
+
+def oracle_fill(tx, ty, img):
+    h, w = tx.shape
+    otx, oty = tx.copy(), ty.copy()
+    for y in range(h):
+        for x in range(w):
+            if tx[y, x] >= 0 and ty[y, x] >= 0:
+                continue
+            cands = []  # (pixdiff, u, v) in direction order
+            for rng_, fixed_axis in (
+                (range(x - 1, -1, -1), "x"),
+                (range(x + 1, w), "x"),
+                (range(y - 1, -1, -1), "y"),
+                (range(y + 1, h), "y"),
+            ):
+                found = None
+                for c in rng_:
+                    cy, cx = (y, c) if fixed_axis == "x" else (c, x)
+                    if tx[cy, cx] >= 0 and ty[cy, cx] >= 0:
+                        found = (cy, cx)
+                        break
+                if found:
+                    cy, cx = found
+                    diff = np.max(np.abs(img[cy, cx] - img[y, x]))
+                    cands.append((diff, tx[cy, cx] - cx, ty[cy, cx] - cy))
+            if cands:
+                best = min(cands, key=lambda t: t[0])
+                otx[y, x] = best[1] + x
+                oty[y, x] = best[2] + y
+    return otx, oty
+
+
+def test_fill_holes_matches_oracle(rng):
+    h, w = 10, 13
+    tx, ty, img = _field_with_holes(rng, h, w)
+    # a full occluded column and row segment
+    tx[:, 5] = ty[:, 5] = INVALID_LOCATION
+    tx[3, :7] = ty[3, :7] = INVALID_LOCATION
+    got = fill_holes(jnp.asarray(tx), jnp.asarray(ty), jnp.asarray(img))
+    want = oracle_fill(tx, ty, img)
+    np.testing.assert_array_equal(np.asarray(got[0]), want[0])
+    np.testing.assert_array_equal(np.asarray(got[1]), want[1])
+
+
+def test_fill_holes_noop_when_all_valid(rng):
+    h, w = 6, 7
+    ys, xs = np.mgrid[0:h, 0:w]
+    tx = ((xs + 1) % w).astype(np.int32)
+    ty = ys.astype(np.int32)
+    img = rng.random((h, w, 3)).astype(np.float32)
+    got = fill_holes(jnp.asarray(tx), jnp.asarray(ty), jnp.asarray(img))
+    np.testing.assert_array_equal(np.asarray(got[0]), tx)
+    np.testing.assert_array_equal(np.asarray(got[1]), ty)
+
+
+# ---------- NNF <-> flow ----------
+
+def test_nnf_flow_roundtrip(rng):
+    h, w = 7, 9
+    ys, xs = np.mgrid[0:h, 0:w]
+    tx = rng.integers(0, w, (h, w)).astype(np.int32)
+    ty = rng.integers(0, h, (h, w)).astype(np.int32)
+    tx[2, 3] = ty[2, 3] = INVALID_LOCATION
+    flow = np.asarray(nnf_to_flow(jnp.asarray(tx), jnp.asarray(ty)))
+    assert flow[2, 3, 0] == UNKNOWN_FLOW
+    np.testing.assert_array_equal(flow[0, 0], [tx[0, 0], ty[0, 0]])
+    btx, bty = flow_to_nnf(jnp.asarray(flow))
+    np.testing.assert_array_equal(np.asarray(btx), tx)
+    np.testing.assert_array_equal(np.asarray(bty), ty)
+
+
+# ---------- flow smoothing ----------
+
+def oracle_blf(flow, img, cfg):
+    h, w = flow.shape[:2]
+    r = cfg.blf_radius
+    sig_r2, sig_s2 = cfg.blf_sigma_range**2, cfg.blf_sigma_spatial**2
+    out = flow.copy()
+    for y in range(h):
+        for x in range(w):
+            acc = np.zeros(2)
+            wsum = 0.0
+            for dy in range(-r, r + 1):
+                for dx in range(-r, r + 1):
+                    cy, cx = y + dy, x + dx
+                    if cx < 0 or cy < 0 or cx >= w or cy >= h:
+                        continue
+                    f = flow[cy, cx]
+                    if f[0] > 1e9 or f[1] > 1e9:
+                        continue
+                    dr = np.max(np.abs(img[cy, cx] - img[y, x]))
+                    # f32 exp like CUDA __expf (tiny weights flush to 0)
+                    wgt = np.exp(np.float32(-dr * dr / sig_r2)) * np.float32(
+                        np.exp(-(dx * dx) / sig_s2)
+                    ) * np.float32(np.exp(-(dy * dy) / sig_s2))
+                    acc += wgt * f
+                    wsum += wgt
+            if wsum != 0:
+                out[y, x] = acc / wsum
+    return out
+
+
+def test_flow_smoothing_matches_oracle(rng):
+    # sigma_range 0.5 keeps range weights in normal f32 range: XLA and CUDA
+    # __expf flush subnormals to zero while NumPy keeps them, so the
+    # default 0.02 makes oracle comparison flaky at strong color edges
+    cfg = RefineConfig(blf_sigma_spatial=1.5, blf_sigma_range=0.5)
+    h, w = 9, 10
+    flow = rng.normal(size=(h, w, 2)).astype(np.float32)
+    flow[4, 4] = UNKNOWN_FLOW
+    img = rng.random((h, w, 3)).astype(np.float32)
+    got = np.asarray(flow_smoothing(jnp.asarray(flow), jnp.asarray(img), cfg))
+    want = oracle_blf(flow, img, cfg)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_flow_smoothing_preserves_constant_flow(rng):
+    cfg = RefineConfig(blf_sigma_spatial=2.0)
+    flow = np.full((8, 8, 2), 3.0, np.float32)
+    img = rng.random((8, 8, 3)).astype(np.float32)
+    got = np.asarray(flow_smoothing(jnp.asarray(flow), jnp.asarray(img), cfg))
+    np.testing.assert_allclose(got, flow, rtol=1e-5)
