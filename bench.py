@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Headline benchmark: full EPPM pipeline throughput on the bundled
+Middlebury Grove pair (640x480), the reference binary's own smoke workload
+(main.cpp:36-79).
+
+Prints ONE JSON line:
+  {"metric": "grove_640x480_fps", "value": N, "unit": "frames/sec",
+   "vs_baseline": N}
+
+Baseline: the reference repo records no end-to-end number (BASELINE.md);
+the CVPR-2014 EPPM paper presents the method as real-time-class at this
+resolution on a contemporary GPU.  We anchor vs_baseline to 4.0 fps
+(0.25 s/frame), the paper-era GPU figure, so vs_baseline > 1.0 means
+faster than the reference-class implementation.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_FPS = 4.0
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, ".")
+    from eppm_tpu.io import read_ppm
+    from eppm_tpu.metrics import warp_error
+    from eppm_tpu.pipeline import compute_flow_jit
+
+    img1 = jnp.asarray(read_ppm("/root/reference/frame10.ppm"))
+    img2 = jnp.asarray(read_ppm("/root/reference/frame11.ppm"))
+
+    # Warm up / compile.  Separate keys defeat identical-call caching in
+    # the device tunnel; the host readback (np.asarray) forces real
+    # synchronization — block_until_ready alone returns early through the
+    # tunnel.
+    flow = compute_flow_jit(img1, img2, jax.random.PRNGKey(0))
+    np.asarray(flow)
+
+    times = []
+    for i in range(3):
+        key = jax.random.PRNGKey(1234 + i)
+        t0 = time.perf_counter()
+        flow = compute_flow_jit(img1, img2, key)
+        flow = np.asarray(flow)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    fps = 1.0 / best
+
+    # sanity: flow must actually explain the motion
+    f = flow
+    a1 = np.asarray(img1, np.float64) / 255.0
+    a2 = np.asarray(img2, np.float64) / 255.0
+    we = warp_error(a1, a2, f)
+    we0 = warp_error(a1, a2, np.zeros_like(f))
+    if not (np.isfinite(f).all() and we < 0.6 * we0):
+        print(
+            json.dumps(
+                {
+                    "metric": "grove_640x480_fps",
+                    "value": 0.0,
+                    "unit": "frames/sec",
+                    "vs_baseline": 0.0,
+                    "error": f"flow quality gate failed: warp {we:.4f} vs zero-flow {we0:.4f}",
+                }
+            )
+        )
+        return
+
+    print(
+        json.dumps(
+            {
+                "metric": "grove_640x480_fps",
+                "value": round(fps, 4),
+                "unit": "frames/sec",
+                "vs_baseline": round(fps / BASELINE_FPS, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

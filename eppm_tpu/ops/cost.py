@@ -116,35 +116,47 @@ def _patch_cost_offsets(
     cfg: CostConfig,
     offsets2: Sequence[Tuple[int, int]],
     tap_chunk: int,
+    pack1_halo: int = 0,
 ) -> jnp.ndarray:
     """Weighted patch cost with per-tap frame-2 offsets ``offsets2``
-    (frame-1 offsets are always the regular stride-2 grid)."""
-    H, W = pack1.shape[0], pack1.shape[1]
+    (frame-1 offsets are always the regular stride-2 grid).
+
+    Multi-chip tiling: ``pack1`` may be a query *tile* carrying
+    ``pack1_halo`` extra rows/cols per side (exchanged from neighbor
+    shards); ``tx``/``ty`` give absolute coordinates into the full
+    (replicated) ``pack2``, whose dims may differ from the tile's.
+    """
+    H, W = tx.shape
+    H2, W2 = pack2.shape[0], pack2.shape[1]
     R = cfg.patch_radius
-    # frame-2 offsets may exceed R for slanted hypotheses
-    max_off = max(
-        R, max(max(abs(i), abs(j)) for i, j in offsets2) if offsets2 else R
-    )
     tap_arr, gw_arr, _ = _tap_tables(cfg, cfg.tap_offsets, offsets2, tap_chunk)
 
-    pad1 = jnp.pad(pack1, ((R, R), (R, R), (0, 0)), mode="edge")
+    pad_extra = max(R - pack1_halo, 0)
+    base = pack1_halo + pad_extra
+    if pad_extra > 0:
+        pad1 = jnp.pad(
+            pack1, ((pad_extra, pad_extra), (pad_extra, pad_extra), (0, 0)),
+            mode="edge",
+        )
+    else:
+        pad1 = pack1
     pack2_flat = pack2.reshape(-1, 4)
 
     lam_ad2 = cfg.lambda_ad * cfg.lambda_ad
     lam_cen2 = (cfg.lambda_census * cfg.census_max_diff) ** 2
     inv_sig_r2 = 1.0 / (cfg.sigma_range * cfg.sigma_range)
 
-    txc = jnp.clip(tx, 0, W - 1)
-    tyc = jnp.clip(ty, 0, H - 1)
-    center1 = pack1[..., :3]
-    center2 = jnp.take(pack2_flat, tyc * W + txc, axis=0)[..., :3]
+    txc = jnp.clip(tx, 0, W2 - 1)
+    tyc = jnp.clip(ty, 0, H2 - 1)
+    center1 = jax.lax.dynamic_slice(pad1, (base, base, 0), (H, W, 4))[..., :3]
+    center2 = jnp.take(pack2_flat, tyc * W2 + txc, axis=0)[..., :3]
 
     def one_tap(tap, gw):
         dy1, dx1, dy2, dx2 = tap[0], tap[1], tap[2], tap[3]
-        p1 = jax.lax.dynamic_slice(pad1, (R + dy1, R + dx1, 0), (H, W, 4))
-        cy = jnp.clip(ty + dy2, 0, H - 1)
-        cx = jnp.clip(tx + dx2, 0, W - 1)
-        p2 = jnp.take(pack2_flat, cy * W + cx, axis=0)
+        p1 = jax.lax.dynamic_slice(pad1, (base + dy1, base + dx1, 0), (H, W, 4))
+        cy = jnp.clip(ty + dy2, 0, H2 - 1)
+        cx = jnp.clip(tx + dx2, 0, W2 - 1)
+        p2 = jnp.take(pack2_flat, cy * W2 + cx, axis=0)
         ad = _maxabs3(p1[..., :3], p2[..., :3])
         c_ad = 1.0 - jnp.exp(-(ad * ad) / lam_ad2)
         ham = _popcount8(
@@ -180,6 +192,7 @@ def patch_cost(
     ty: jnp.ndarray,
     cfg: CostConfig = CostConfig(),
     tap_chunk: int = 25,
+    pack1_halo: int = 0,
 ) -> jnp.ndarray:
     """Fronto-parallel bilateral AD+census cost (bao_pmflow_kernel.cu:255-301).
 
@@ -188,7 +201,7 @@ def patch_cost(
     like CUDA texture clamp addressing).  Returns (H, W) float32.
     """
     return _patch_cost_offsets(
-        pack1, pack2, tx, ty, cfg, cfg.tap_offsets, tap_chunk
+        pack1, pack2, tx, ty, cfg, cfg.tap_offsets, tap_chunk, pack1_halo
     )
 
 
@@ -242,11 +255,14 @@ def patch_cost_planefitting(
     ty: jnp.ndarray,
     cfg: CostConfig = CostConfig(),
     tap_chunk: int = 25,
+    pack1_halo: int = 0,
 ) -> jnp.ndarray:
     """Min over the 4 affine-warp hypotheses (bao_pmflow_kernel.cu:334-513)."""
     cost = None
     for offsets2 in plane_offsets(cfg):
-        c = _patch_cost_offsets(pack1, pack2, tx, ty, cfg, offsets2, tap_chunk)
+        c = _patch_cost_offsets(
+            pack1, pack2, tx, ty, cfg, offsets2, tap_chunk, pack1_halo
+        )
         cost = c if cost is None else jnp.minimum(cost, c)
     return cost
 

@@ -437,15 +437,26 @@ def blf_refine_flow(
     cost_cfg: CostConfig = CostConfig(),
     tap_chunk: int = 25,
     sequential: bool = True,
+    origin=(0, 0),
+    pack1_halo: int = 0,
 ):
     """3x3 plane-fitting cost re-search around the current flow target
     (d_bilateral_refine_flow_planefitting, bao_pmflow_kernel.cu:2005-2041).
 
     Candidate grid: center = trunc(flow) + pos, +-1 per axis; out-of-image
     candidates are skipped; unknown flow resets to 0 and is skipped.
+
+    Multi-chip tiling: ``flow`` may be a shard tile whose top-left pixel
+    sits at global position ``origin`` (traced (y0, x0)); ``pack1`` is then
+    the matching tile with ``pack1_halo`` exchanged rows/cols per side, and
+    ``pack2`` the full replicated frame.
     """
     h, w = flow.shape[:2]
+    h2, w2 = pack2.shape[0], pack2.shape[1]
+    y0, x0 = origin
     ys, xs = _grid(h, w)
+    ys = ys + y0  # global pixel coordinates
+    xs = xs + x0
     u, v = flow[..., 0], flow[..., 1]
     unknown = (u > UNKNOWN_FLOW_THRESH) | (v > UNKNOWN_FLOW_THRESH)
     cx = jnp.trunc(jnp.where(unknown, 0.0, u)).astype(jnp.int32) + xs
@@ -456,22 +467,22 @@ def blf_refine_flow(
         for n in (-1, 0, 1):
             tx = cx + m
             ty = cy + n
-            inb = (tx >= 0) & (tx < w) & (ty >= 0) & (ty < h)
-            cand_tx.append(jnp.clip(tx, 0, w - 1))
-            cand_ty.append(jnp.clip(ty, 0, h - 1))
+            inb = (tx >= 0) & (tx < w2) & (ty >= 0) & (ty < h2)
+            cand_tx.append(jnp.clip(tx, 0, w2 - 1))
+            cand_ty.append(jnp.clip(ty, 0, h2 - 1))
             cand_inb.append(inb)
     txs = jnp.stack(cand_tx)
     tys = jnp.stack(cand_ty)
     inbs = jnp.stack(cand_inb)
 
     fn = lambda t: patch_cost_planefitting(
-        pack1, pack2, t[0], t[1], cost_cfg, tap_chunk
+        pack1, pack2, t[0], t[1], cost_cfg, tap_chunk, pack1_halo
     )
     if sequential:
         costs = jax.lax.map(fn, (txs, tys))
     else:
         costs = jax.vmap(lambda a, b: patch_cost_planefitting(
-            pack1, pack2, a, b, cost_cfg, tap_chunk))(txs, tys)
+            pack1, pack2, a, b, cost_cfg, tap_chunk, pack1_halo))(txs, tys)
     costs = jnp.where(inbs, costs, FLT_MAX)
 
     # initial best: the center candidate at sentinel cost 999999

@@ -62,33 +62,43 @@ def gaussian_filter(img: jnp.ndarray, sigma: float, radius: int) -> jnp.ndarray:
 
 
 def _resize_axis_indices(
-    out_size: int, in_size: int, ratio: float
+    out_size: int, in_size: int, ratio: float, shift: int = 0
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Static (i0, i1, frac) for one axis, reference semantics.
 
     fx = (x+1)/ratio - 1; xx = trunc(fx); dx = clip(fx-xx, 0, 1); taps at
     clamp(xx), clamp(xx+1) (bao_basic_cuda.cuh:489-509).
+
+    ``shift`` offsets the tap indices (for shard tiles carrying ``shift``
+    halo rows/cols: local index = global mapping + shift; the clamp then
+    binds at the halo edge, which carries the globally-clamped values).
     """
     x = np.arange(out_size, dtype=np.float64)
     fx = (x + 1.0) / ratio - 1.0
-    xx = np.trunc(fx)  # C cast truncates toward zero
+    # The C code truncates toward zero; we floor.  They differ only for
+    # fx in (-1, 0) — reachable solely at output pixel 0 when upsampling —
+    # where both variants clamp every tap to input pixel 0 and the weights
+    # sum to 1, so outputs are identical.  floor (unlike trunc) commutes
+    # with the integer ``shift``, which tiled resizing relies on.
+    xx = np.floor(fx)
     dx = np.clip(fx - xx, 0.0, 1.0)
-    i0 = np.clip(xx.astype(np.int64), 0, in_size - 1)
-    i1 = np.clip(xx.astype(np.int64) + 1, 0, in_size - 1)
+    i0 = np.clip(xx.astype(np.int64) + shift, 0, in_size - 1)
+    i1 = np.clip(xx.astype(np.int64) + 1 + shift, 0, in_size - 1)
     return i0, i1, dx.astype(np.float32)
 
 
 def bilinear_resize(
-    img: jnp.ndarray, out_h: int, out_w: int, ratio: float
+    img: jnp.ndarray, out_h: int, out_w: int, ratio: float, shift: int = 0
 ) -> jnp.ndarray:
     """Bilinear resize with the reference's coordinate mapping.
 
     ``ratio`` is out/in scale as the reference passes it (e.g. 0.5**i for
-    pyramid downsampling, 2.0 for flow upsampling).
+    pyramid downsampling, 2.0 for flow upsampling).  ``shift`` supports
+    haloed shard tiles (see _resize_axis_indices).
     """
     h, w = img.shape[0], img.shape[1]
-    y0, y1, fy = _resize_axis_indices(out_h, h, ratio)
-    x0, x1, fx = _resize_axis_indices(out_w, w, ratio)
+    y0, y1, fy = _resize_axis_indices(out_h, h, ratio, shift)
+    x0, x1, fx = _resize_axis_indices(out_w, w, ratio, shift)
     fy = jnp.asarray(fy).reshape((-1, 1) + (1,) * (img.ndim - 2))
     fx = jnp.asarray(fx).reshape((1, -1) + (1,) * (img.ndim - 2))
     r0 = jnp.take(img, y0, axis=0)

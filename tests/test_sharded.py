@@ -1,0 +1,180 @@
+"""Multi-device tests on the spoofed 8-device CPU mesh (conftest.py).
+
+The key distributed test (SURVEY.md section 4): tiled multi-chip output
+must equal the single-chip pipeline — same keys, same schedule, only the
+partitioning differs (to f32 fusion-level tolerance).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from eppm_tpu.config import EPPMConfig, PatchMatchConfig, PyramidConfig, RefineConfig
+from eppm_tpu.parallel import (
+    check_tileable,
+    compute_flow_sharded,
+    halo_exchange_2d,
+    make_mesh,
+)
+from eppm_tpu.pipeline import compute_flow
+
+
+def _cfg(depth=2):
+    return EPPMConfig(
+        pyramid=PyramidConfig(max_depth=depth),
+        patchmatch=PatchMatchConfig(num_iters=3, prop_steps=(4, 2, 1)),
+        refine=RefineConfig(wmf_coarse_iters=3),
+    )
+
+
+def _textured(rng, h, w):
+    small = rng.random((h // 4 + 2, w // 4 + 2, 3)).astype(np.float32)
+    img = np.asarray(
+        jax.image.resize(jnp.asarray(small), (h + 8, w + 8, 3), "cubic")
+    )[:h, :w]
+    return np.clip(img, 0, 1)
+
+
+def test_devices_available():
+    assert len(jax.devices()) == 8, "conftest must spoof 8 CPU devices"
+
+
+def test_halo_exchange_matches_pad():
+    """Tiled halo exchange == slicing a globally padded array."""
+    mesh = make_mesh(batch=1, y=2, x=2)
+    rng = np.random.default_rng(0)
+    full = rng.random((16, 24)).astype(np.float32)
+    halo = 3
+
+    def fn(tile):
+        return halo_exchange_2d(tile[0, :, :, 0], halo)[None, :, :, None]
+
+    tiled = shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=P("batch", "y", "x", None),
+        out_specs=P("batch", "y", "x", None),
+        check_vma=False,
+    )(jnp.asarray(full)[None, :, :, None])
+    # can't reassemble haloed tiles globally; instead check each tile
+    tiles = np.asarray(tiled)[0, :, :, 0]
+    padded = np.pad(full, halo, mode="edge")
+    th, tw = 8, 12
+    # shard (iy, ix) occupies rows iy*(th+2h):(iy+1)*(th+2h) in the output
+    for iy in range(2):
+        for ix in range(2):
+            got = tiles[
+                iy * (th + 2 * halo) : (iy + 1) * (th + 2 * halo),
+                ix * (tw + 2 * halo) : (ix + 1) * (tw + 2 * halo),
+            ]
+            want = padded[
+                iy * th : iy * th + th + 2 * halo,
+                ix * tw : ix * tw + tw + 2 * halo,
+            ]
+            np.testing.assert_array_equal(got, want)
+
+
+def test_halo_exchange_constant_boundary():
+    mesh = make_mesh(batch=1, y=2, x=1)
+    full = jnp.arange(8.0 * 4).reshape(8, 4)
+
+    def fn(tile):
+        return halo_exchange_2d(tile[0, :, :, 0], 2, boundary=-1.0)[
+            None, :, :, None
+        ]
+
+    tiled = shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=P("batch", "y", "x", None),
+        out_specs=P("batch", "y", "x", None),
+        check_vma=False,
+    )(full[None, :, :, None])
+    t = np.asarray(tiled)[0, :, :, 0]
+    top_tile = t[:8]  # 4 rows + 2 halo each side (x halo is columns 0:2, 6:8)
+    assert (top_tile[:2] == -1.0).all()            # global top boundary
+    assert (top_tile[:, :2] == -1.0).all()         # global left boundary
+    # bottom halo rows come from the next y-shard (rows 4:6 of the image)
+    np.testing.assert_array_equal(top_tile[6:8, 2:6], np.asarray(full)[4:6])
+
+
+def test_check_tileable():
+    cfg = _cfg(depth=3)
+    check_tileable(64, 96, cfg, 2, 2)
+    with pytest.raises(ValueError):
+        check_tileable(60, 96, cfg, 2, 2)  # 60 -> 30 -> 15 not divisible
+
+
+def test_sharded_matches_single_chip(rng):
+    """Tiled (1,2,2) vs single chip, same key: numerically equal.
+
+    Not bit-exact: XLA fuses the tiled and monolithic programs differently
+    (FMA formation, reduction vectorization), so f32 values can differ at
+    the ~1e-5 level even though every pixel follows the identical data
+    path.  The gate is a tight elementwise tolerance plus a zero-EPE-level
+    agreement check.
+    """
+    cfg = _cfg(depth=2)
+    h, w = 64, 96
+    img2 = _textured(rng, h, w)
+    img1 = np.roll(img2, (-3, -2), axis=(1, 0))
+    key = jax.random.PRNGKey(cfg.seed)
+    single = np.asarray(
+        compute_flow(jnp.asarray(img1), jnp.asarray(img2), key, cfg)
+    )
+    mesh = make_mesh(batch=1, y=2, x=2)
+    tiled = np.asarray(
+        compute_flow_sharded(
+            jnp.asarray(img1)[None], jnp.asarray(img2)[None], mesh, cfg,
+            keys=key[None],
+        )
+    )[0]
+    np.testing.assert_allclose(tiled, single, atol=1e-3, rtol=1e-4)
+    # the integer search decisions must agree exactly almost everywhere
+    exact = (np.abs(tiled - single) < 1e-4).all(axis=-1).mean()
+    assert exact > 0.99, f"only {exact:.2%} of pixels agree to 1e-4"
+
+
+def test_sharded_batch_parallel(rng):
+    """Batch sharding: each pair's flow equals its single-chip result."""
+    cfg = _cfg(depth=2)
+    h, w = 32, 32
+    pairs = []
+    for i in range(4):
+        img2 = _textured(rng, h, w)
+        img1 = np.roll(img2, -(i % 3 + 1), axis=1)
+        pairs.append((img1, img2))
+    imgs1 = jnp.asarray(np.stack([p[0] for p in pairs]))
+    imgs2 = jnp.asarray(np.stack([p[1] for p in pairs]))
+    mesh = make_mesh(batch=4, y=1, x=2)
+    keys = jax.vmap(jax.random.fold_in, (None, 0))(
+        jax.random.PRNGKey(cfg.seed), jnp.arange(4)
+    )
+    batched = np.asarray(
+        compute_flow_sharded(imgs1, imgs2, mesh, cfg, keys=keys)
+    )
+    for i in range(4):
+        single = np.asarray(
+            compute_flow(imgs1[i], imgs2[i], keys[i], cfg)
+        )
+        np.testing.assert_allclose(batched[i], single, atol=1e-3, rtol=1e-4)
+
+
+def test_full_3axis_mesh(rng):
+    """(batch=2, y=2, x=2) = all 8 devices at once."""
+    cfg = _cfg(depth=2)
+    h, w = 32, 32
+    img2 = _textured(rng, h, w)
+    img1 = np.roll(img2, -2, axis=1)
+    imgs1 = jnp.asarray(np.stack([img1, img1]))
+    imgs2 = jnp.asarray(np.stack([img2, img2]))
+    mesh = make_mesh(batch=2, y=2, x=2)
+    out = np.asarray(compute_flow_sharded(imgs1, imgs2, mesh, cfg))
+    assert out.shape == (2, h, w, 2)
+    assert np.isfinite(out).all()
+    b = 8
+    assert abs(np.median(out[0, b:-b, b:-b, 0]) - 2.0) <= 1.0
