@@ -167,5 +167,16 @@ class EPPMConfig:
     # bounds peak HBM for full-resolution candidate evaluation.
     cost_tap_chunk: int = 25
 
+    # Fine-level refinement implementation:
+    #   "dense"  — TPU-native warp-once + dense residual search
+    #              (ops/dense.py); zero data-dependent gathers in the
+    #              search, the default and the fast path on TPU.
+    #   "gather" — per-pixel target gathers, bit-faithful to the
+    #              reference kernel (ops/refine.py blf_refine_flow).
+    refine_impl: str = "dense"
+    # Residual search radius for the dense path (reference re-search grid
+    # is 3x3 == radius 1; radius 2 widens recovery from warp error).
+    dense_search_radius: int = 1
+
 
 DEFAULT_CONFIG = EPPMConfig()

@@ -41,6 +41,7 @@ import jax.numpy as jnp
 from .config import DEFAULT_CONFIG, EPPMConfig
 from .ops.census import census_transform
 from .ops.cost import pack_frame
+from .ops.dense import dense_refine_flow
 from .ops.patchmatch import patchmatch
 from .ops.refine import (
     blf_refine_flow,
@@ -127,9 +128,15 @@ def compute_flow(
     for lvl in range(top - 1, -1, -1):
         oh, ow = packs1[lvl].shape[0], packs1[lvl].shape[1]
         flow = bilinear_resize(flow, oh, ow, ratio_up) * ratio_up
-        flow = blf_refine_flow(
-            flow, packs1[lvl], packs2[lvl], cfg.cost, cfg.cost_tap_chunk
-        )
+        if cfg.refine_impl == "dense":
+            flow = dense_refine_flow(
+                flow, packs1[lvl], packs2[lvl], cfg.cost,
+                cfg.dense_search_radius, True, cfg.cost_tap_chunk,
+            )
+        else:
+            flow = blf_refine_flow(
+                flow, packs1[lvl], packs2[lvl], cfg.cost, cfg.cost_tap_chunk
+            )
         flow = flow_smoothing(flow, levels1[lvl], cfg.refine)
         if fine_level_wmf:
             ftx, fty = flow_to_nnf(flow)
