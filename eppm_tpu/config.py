@@ -110,11 +110,52 @@ class PatchMatchConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class MatchConfig:
+    """Dense coarse-level matcher (ops/match.py) — the TPU-native engine
+    replacing PatchMatch's sequential per-pixel search.  PatchMatch's
+    global random init becomes a global MXU descriptor argmax; its
+    propagate/random-search refinement becomes dense residual sweeps on a
+    mini-pyramid."""
+
+    # Extra pyramid levels below the coarse level (160x120 -> 80x60 ->
+    # 40x30 for the default 2); levels whose min dim would drop below
+    # ``min_level_dim`` are skipped.
+    descent_levels: int = 2
+    min_level_dim: int = 24
+    # Residual search radius per descent sweep.
+    descent_radius: int = 3
+    # Dense jump-flood propagation rounds at the coarse level: each round
+    # tries the 4 axial neighbors' offsets at this step distance plus the
+    # 3x3 flow median, kept on true-cost improvement.
+    prop_steps: Tuple[int, ...] = (8, 4, 2, 1)
+    # Patch radius for mini-level sweeps (full-size patches span most of a
+    # mini level and lose discrimination); stride 1.
+    mini_patch_radius: int = 4
+    # Final polish sweep radius at the coarse level (0 disables).
+    final_radius: int = 2
+    # Global descriptor matching: tap grid and feature scaling.
+    desc_radius: int = 8
+    desc_tap_stride: int = 4
+    desc_sigma_spatial: float = 6.0
+    desc_census_scale: float = 0.1
+    # Frame-2 pixels scored per MXU block in the global argmax.
+    global_block: int = 2048
+    # Also run the global matcher at full coarse resolution and merge by
+    # true-cost argmin (large-displacement recall).
+    global_at_coarse: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
 class RefineConfig:
     """Post-PM refinement chain (defs.h:58-68, bao_pmflow_refine_kernel.cu)."""
 
-    # Left-right check (bao_pmflow_refine_kernel.cu:51)
-    lr_diff_thresh: int = 0
+    # Left-right check tolerance in pixels.  The reference uses 0
+    # (bao_pmflow_refine_kernel.cu:51), which presumes fwd/bwd argmins of
+    # one exact shared cost; the dense matcher's warp-approximated
+    # evaluation adds +-1 px of direction-dependent quantization, so the
+    # matched operating point here is 1 (the reference's own buffered
+    # variant runs at 50, :95-140).
+    lr_diff_thresh: int = 1
     # Outlier removal (defs.h:68, bao_pmflow_refine_kernel.cu:146-147)
     stat_radius: int = 6
     stat_sim_thresh: int = 2
@@ -157,6 +198,7 @@ class EPPMConfig:
     pyramid: PyramidConfig = PyramidConfig()
     cost: CostConfig = CostConfig()
     patchmatch: PatchMatchConfig = PatchMatchConfig()
+    match: MatchConfig = MatchConfig()
     refine: RefineConfig = RefineConfig()
     subpixel: SubpixelConfig = SubpixelConfig()
     seed: int = 1234               # reference cuRAND seed (bao_pmflow_kernel.cu:68)
@@ -166,6 +208,14 @@ class EPPMConfig:
     # Memory knob: taps evaluated per scan step inside the cost evaluator;
     # bounds peak HBM for full-resolution candidate evaluation.
     cost_tap_chunk: int = 25
+
+    # Coarse-level matching engine:
+    #   "dense"      — global MXU descriptor argmax + dense residual
+    #                  descent (ops/match.py); the TPU-native default.
+    #   "patchmatch" — random init + jump-flood propagation + random
+    #                  search (ops/patchmatch.py), faithful to the
+    #                  reference's search structure.
+    match_engine: str = "dense"
 
     # Fine-level refinement implementation:
     #   "dense"  — TPU-native warp-once + dense residual search
@@ -177,6 +227,11 @@ class EPPMConfig:
     # Residual search radius for the dense path (reference re-search grid
     # is 3x3 == radius 1; radius 2 widens recovery from warp error).
     dense_search_radius: int = 1
+    # Iterative-warping passes per fine level: between passes the integer
+    # flow is 3x3-median-filtered and frame 2 re-warped, making the
+    # warp-approximated taps self-consistent (kills the +-1 px noise halo
+    # the single-pass approximation leaves in mixed-flow regions).
+    dense_refine_passes: int = 2
 
 
 DEFAULT_CONFIG = EPPMConfig()

@@ -49,6 +49,8 @@ __all__ = [
     "warp_pack",
     "residual_costs",
     "dense_refine_flow",
+    "median3",
+    "median3_flow",
 ]
 
 
@@ -56,6 +58,36 @@ def _grid(h: int, w: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     return ys, xs
+
+
+def _shift2d(a: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    h, w = a.shape[0], a.shape[1]
+    ady, adx = abs(dy), abs(dx)
+    pad = ((ady, ady), (adx, adx)) + ((0, 0),) * (a.ndim - 2)
+    padded = jnp.pad(a, pad, mode="edge")
+    return padded[ady + dy : ady + dy + h, adx + dx : adx + dx + w]
+
+
+def median3(x: jnp.ndarray) -> jnp.ndarray:
+    """3x3 median of a 2D field via a fixed 19-comparator sorting network
+    over the static shifts (pure VPU min/max; edge-replicated borders)."""
+    vals = [_shift2d(x, dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    for i, j in [
+        (0, 1), (3, 4), (6, 7), (1, 2), (4, 5), (7, 8), (0, 1), (3, 4),
+        (6, 7), (0, 3), (5, 8), (4, 7), (3, 6), (1, 4), (2, 5), (4, 7),
+        (4, 2), (6, 4), (4, 2),
+    ]:
+        lo = jnp.minimum(vals[i], vals[j])
+        hi = jnp.maximum(vals[i], vals[j])
+        vals[i], vals[j] = lo, hi
+    return vals[4]
+
+
+def median3_flow(flow: jnp.ndarray) -> jnp.ndarray:
+    """Per-component 3x3 median of an (H, W, 2) flow field."""
+    return jnp.stack(
+        [median3(flow[..., 0]), median3(flow[..., 1])], axis=-1
+    )
 
 
 def warp_pack(
@@ -227,7 +259,9 @@ def dense_refine_flow(
 
     r = search_radius
     cand_offsets = [(m, n) for m in range(-r, r + 1) for n in range(-r, r + 1)]
-    costs = residual_costs(
+    from .pallas_cost import residual_costs_auto
+
+    costs = residual_costs_auto(
         pack1, warped2, cand_offsets, cfg, use_planes, tap_chunk
     )
 

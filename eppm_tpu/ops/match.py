@@ -1,0 +1,432 @@
+"""Dense coarse-level matcher — the TPU-native replacement for PatchMatch.
+
+The reference finds the coarse-level NNF by PatchMatch (random init +
+sequential propagation + random search, bao_pmflow_kernel.cu:1760-1826):
+~220 patch-cost evaluations per pixel at per-pixel *gathered* frame-2
+positions.  On TPU those gathers serialize onto the scalar core (measured
+~3 orders of magnitude below VPU speed) — PatchMatch's whole premise
+(sparse candidate evaluation beats dense search) inverts on this hardware,
+where dense statically-addressed work is nearly free and random access is
+ruinous.
+
+TPU-native redesign (two complementary engines, fused):
+
+1. **Global descriptor argmax (MXU).**  Every pixel scores *every* target
+   with a patch descriptor dot product: ``S = D1 @ D2^T`` blockwise with a
+   running argmax.  Descriptors are static-shift tap stacks (RGB + census
+   bits), so SSD/Hamming patch distance reduces to ``argmax(a.b - |b|^2/2)``
+   — one big matmul, the MXU's native shape.  This recovers arbitrarily
+   large displacements of small objects, the capability PatchMatch's
+   global random init provided (and classic coarse-to-fine loses).
+2. **Dense local descent (VPU).**  A mini-pyramid below the coarse level;
+   at each step the flow is upsampled, frame 2 warped once, and a
+   (2r+1)^2 residual grid evaluated densely with the *true* bilateral
+   AD+census cost (ops/dense.py) — the same cost PatchMatch optimizes,
+   restructured from per-pixel sequential search into data-parallel
+   sweeps.
+
+The two candidate fields are rescored with the true cost and merged by
+per-pixel argmin, then polished with a final residual sweep.  Interface
+matches ``ops.patchmatch.patchmatch``: returns absolute int32 target
+fields + their cost, feeding the unchanged refinement chain (LR check,
+outlier removal, WMF, hole fill).
+
+PatchMatch itself remains available (``EPPMConfig.match_engine =
+"patchmatch"``) as the bit-faithful reference engine.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import CostConfig, MatchConfig
+from .census import census_transform
+from .cost import pack_frame
+from .dense import median3, residual_costs, warp_pack
+from .pallas_cost import residual_costs_auto
+from .resize import bilinear_resize, gaussian_filter
+
+__all__ = [
+    "patch_descriptors",
+    "global_match",
+    "descend_level",
+    "match_coarse",
+]
+
+
+def _grid(h: int, w: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    return ys, xs
+
+
+def _shift2d(a: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    h, w = a.shape[0], a.shape[1]
+    ady, adx = abs(dy), abs(dx)
+    pad = ((ady, ady), (adx, adx)) + ((0, 0),) * (a.ndim - 2)
+    padded = jnp.pad(a, pad, mode="edge")
+    return padded[ady + dy : ady + dy + h, adx + dx : adx + dx + w]
+
+
+def patch_descriptors(
+    pack: jnp.ndarray, cfg: MatchConfig
+) -> jnp.ndarray:
+    """Per-pixel patch descriptor for MXU matching, (H, W, D) bfloat16.
+
+    Taps on a stride-``desc_tap_stride`` grid of radius ``desc_radius``;
+    per tap: 3 RGB channels + 8 census sign bits scaled by
+    ``desc_census_scale`` (so descriptor SSD ~ RGB SSD + census Hamming,
+    the dot-product form of the reference's AD+census cost family).
+    Spatial Gaussian tap weighting is folded in as a per-tap scale.
+    """
+    import math
+
+    r, s = cfg.desc_radius, cfg.desc_tap_stride
+    sig2 = cfg.desc_sigma_spatial**2
+    feats = []
+    census = pack[..., 3].astype(jnp.int32)
+    bit_planes = [
+        ((census >> b) & 1).astype(jnp.float32) - 0.5 for b in range(8)
+    ]
+    bits = jnp.stack(bit_planes, axis=-1) * (2.0 * cfg.desc_census_scale)
+    rgb = pack[..., :3]
+    for dy in range(-r, r + 1, s):
+        for dx in range(-r, r + 1, s):
+            gw = math.exp(-(dy * dy + dx * dx) / sig2)
+            feats.append(_shift2d(rgb, dy, dx) * gw)
+            feats.append(_shift2d(bits, dy, dx) * gw)
+    return jnp.concatenate(feats, axis=-1).astype(jnp.bfloat16)
+
+
+def global_match(
+    desc1: jnp.ndarray, desc2: jnp.ndarray, block: int = 2048
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-pixel SSD-argmin target over *all* of frame 2, via blockwise
+    MXU score matmul: argmin |a-b|^2 == argmax (a.b - |b|^2/2).
+
+    Returns (ty, tx) int32 absolute target fields for frame 1 pixels.
+    """
+    h, w = desc1.shape[0], desc1.shape[1]
+    h2, w2 = desc2.shape[0], desc2.shape[1]
+    d = desc1.shape[2]
+    n1, n2 = h * w, h2 * w2
+    d1 = desc1.reshape(n1, d)
+    d2 = desc2.reshape(n2, d)
+    half_norm2 = 0.5 * jnp.sum(
+        d2.astype(jnp.float32) * d2.astype(jnp.float32), axis=1
+    )
+
+    n_blocks = -(-n2 // block)
+    pad2 = n_blocks * block - n2
+    d2p = jnp.pad(d2, ((0, pad2), (0, 0)))
+    hn2p = jnp.pad(half_norm2, (0, pad2), constant_values=jnp.inf)
+    d2b = d2p.reshape(n_blocks, block, d)
+    hn2b = hn2p.reshape(n_blocks, block)
+
+    def step(carry, inp):
+        best_s, best_i = carry
+        j, d2_blk, hn_blk = inp
+        scores = (
+            jax.lax.dot_general(
+                d1, d2_blk,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            - hn_blk[None, :]
+        )
+        s = jnp.max(scores, axis=1)
+        i = jnp.argmax(scores, axis=1).astype(jnp.int32) + j * block
+        better = s > best_s
+        return (
+            jnp.where(better, s, best_s),
+            jnp.where(better, i, best_i),
+        ), None
+
+    init = (
+        jnp.full((n1,), -jnp.inf, jnp.float32),
+        jnp.zeros((n1,), jnp.int32),
+    )
+    (best_s, best_i), _ = jax.lax.scan(
+        step, init,
+        (jnp.arange(n_blocks, dtype=jnp.int32), d2b, hn2b),
+    )
+    ty = (best_i // w2).reshape(h, w)
+    tx = (best_i % w2).reshape(h, w)
+    return ty, tx
+
+
+def _flow_to_targets(flow, h2, w2):
+    h, w = flow.shape[0], flow.shape[1]
+    ys, xs = _grid(h, w)
+    gx = jnp.trunc(flow[..., 0]).astype(jnp.int32)
+    gy = jnp.trunc(flow[..., 1]).astype(jnp.int32)
+    return gy, gx, ys, xs
+
+
+def rescore(
+    pack1: jnp.ndarray,
+    pack2: jnp.ndarray,
+    gy: jnp.ndarray,
+    gx: jnp.ndarray,
+    cost_cfg: CostConfig,
+    tap_chunk: int = 25,
+) -> jnp.ndarray:
+    """True bilateral AD+census cost of the integer offset field (gy, gx):
+    one warp + a single dense evaluation."""
+    warped = warp_pack(pack2, gx, gy)
+    return residual_costs_auto(
+        pack1, warped, [(0, 0)], cost_cfg, False, tap_chunk
+    )[0]
+
+
+def rescore_multi(
+    pack1: jnp.ndarray,
+    pack2: jnp.ndarray,
+    gys: jnp.ndarray,
+    gxs: jnp.ndarray,
+    cost_cfg: CostConfig,
+    tap_chunk: int = 25,
+) -> jnp.ndarray:
+    """True cost of K integer offset fields (K, H, W) -> (K, H, W); the K
+    warps share one batched gather."""
+    k, h, w = gys.shape
+    h2, w2 = pack2.shape[0], pack2.shape[1]
+    ys, xs = _grid(h, w)
+    cy = jnp.clip(ys[None] + gys, 0, h2 - 1)
+    cx = jnp.clip(xs[None] + gxs, 0, w2 - 1)
+    flat = pack2.reshape(h2 * w2, pack2.shape[2])
+    warped = jnp.take(flat, (cy * w2 + cx).reshape(-1), axis=0).reshape(
+        k, h, w, pack2.shape[2]
+    )
+    eval_one = lambda wp: residual_costs_auto(
+        pack1, wp, [(0, 0)], cost_cfg, False, tap_chunk
+    )[0]
+    return jax.lax.map(eval_one, warped)
+
+
+def propagate_dense(
+    pack1: jnp.ndarray,
+    pack2: jnp.ndarray,
+    flow: jnp.ndarray,
+    cost: jnp.ndarray,
+    steps: Sequence[int],
+    cost_cfg: CostConfig,
+    tap_chunk: int = 25,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dense jump-flood propagation: each round tries the 4 axial
+    neighbors' offsets at the given step distance plus the 3x3 flow median,
+    rescored with the true cost and kept on strict improvement.  This is
+    PatchMatch propagation (bao_pmflow_kernel.cu:979-1181) restructured
+    from per-thread sequential sweeps into whole-field candidate rounds."""
+    h, w = flow.shape[0], flow.shape[1]
+    h2, w2 = pack2.shape[0], pack2.shape[1]
+    ys, xs = _grid(h, w)
+    gx = jnp.trunc(flow[..., 0]).astype(jnp.int32)
+    gy = jnp.trunc(flow[..., 1]).astype(jnp.int32)
+    for step in steps:
+        cand_gx = [
+            _shift2d(gx, dy, dx)
+            for dy, dx in ((0, -step), (0, step), (-step, 0), (step, 0))
+        ]
+        cand_gy = [
+            _shift2d(gy, dy, dx)
+            for dy, dx in ((0, -step), (0, step), (-step, 0), (step, 0))
+        ]
+        cand_gx.append(median3(gx))
+        cand_gy.append(median3(gy))
+        gxs = jnp.stack(cand_gx)
+        gys = jnp.stack(cand_gy)
+        costs = rescore_multi(pack1, pack2, gys, gxs, cost_cfg, tap_chunk)
+        # out-of-image targets never win
+        inb = (
+            (xs[None] + gxs >= 0) & (xs[None] + gxs < w2)
+            & (ys[None] + gys >= 0) & (ys[None] + gys < h2)
+        )
+        from ..config import FLT_MAX
+
+        costs = jnp.where(inb, costs, FLT_MAX)
+        for i in range(gxs.shape[0]):
+            better = costs[i] < cost
+            gx = jnp.where(better, gxs[i], gx)
+            gy = jnp.where(better, gys[i], gy)
+            cost = jnp.where(better, costs[i], cost)
+    return (
+        jnp.stack([gx.astype(jnp.float32), gy.astype(jnp.float32)], -1),
+        cost,
+    )
+
+
+def descend_level(
+    pack1: jnp.ndarray,
+    pack2: jnp.ndarray,
+    flow: jnp.ndarray,
+    radius: int,
+    cost_cfg: CostConfig,
+    tap_chunk: int = 25,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One dense warp + (2r+1)^2 residual argmin sweep; returns the updated
+    integer flow and its cost (fronto-parallel cost, as PatchMatch uses)."""
+    h, w = pack1.shape[0], pack1.shape[1]
+    h2, w2 = pack2.shape[0], pack2.shape[1]
+    gy, gx, ys, xs = _flow_to_targets(flow, h2, w2)
+    warped = warp_pack(pack2, gx, gy)
+    cands = [
+        (m, n)
+        for m in range(-radius, radius + 1)
+        for n in range(-radius, radius + 1)
+    ]
+    costs = residual_costs_auto(pack1, warped, cands, cost_cfg, False, tap_chunk)
+    from ..config import FLT_MAX
+
+    best_cost = jnp.full((h, w), FLT_MAX, jnp.float32)
+    best_dy = jnp.zeros((h, w), jnp.int32)
+    best_dx = jnp.zeros((h, w), jnp.int32)
+    for k, (m, n) in enumerate(cands):
+        ty = ys + gy + m
+        tx = xs + gx + n
+        inb = (tx >= 0) & (tx < w2) & (ty >= 0) & (ty < h2)
+        ck = jnp.where(inb, costs[k], FLT_MAX)
+        better = ck < best_cost
+        best_cost = jnp.where(better, ck, best_cost)
+        best_dy = jnp.where(better, m, best_dy)
+        best_dx = jnp.where(better, n, best_dx)
+    new_flow = jnp.stack(
+        [
+            (gx + best_dx).astype(jnp.float32),
+            (gy + best_dy).astype(jnp.float32),
+        ],
+        axis=-1,
+    )
+    return new_flow, best_cost
+
+
+def _mini_pyramid(
+    img: jnp.ndarray, levels: int, ratio: float = 0.5
+) -> List[jnp.ndarray]:
+    """Gaussian mini-pyramid below the coarse level (same sigma schedule as
+    the main pyramid, bao_basic_cuda.cuh:619-641): packs per level,
+    level 0 = input resolution."""
+    h, w = img.shape[0], img.shape[1]
+    packs = [pack_frame(img, census_transform(img))]
+    base_sigma = 1.0 / ratio - 1.0
+    cur = img
+    for i in range(1, levels + 1):
+        oh, ow = int(h * ratio**i), int(w * ratio**i)
+        smoothed = gaussian_filter(cur, base_sigma, int(base_sigma * 3))
+        cur = bilinear_resize(smoothed, oh, ow, ratio)
+        packs.append(pack_frame(cur, census_transform(cur)))
+    return packs
+
+
+def match_coarse(
+    img1: jnp.ndarray,
+    img2: jnp.ndarray,
+    cost_cfg: CostConfig,
+    match_cfg: MatchConfig,
+    tap_chunk: int = 25,
+    pack1: Optional[jnp.ndarray] = None,
+    pack2: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Coarse-level dense matching, frame 1 -> frame 2.
+
+    Returns (tx, ty, cost): absolute int32 target fields + float32 cost,
+    the same contract as ``ops.patchmatch.patchmatch``.
+    """
+    import dataclasses
+
+    h, w = img1.shape[0], img1.shape[1]
+    # Mini-pyramid floor: a level must stay large relative to the patch
+    # (19x19 default) or residual argmins degenerate into border-clamp
+    # noise; keep min(h, w) >= ~24 px.
+    levels = 0
+    while (
+        levels < match_cfg.descent_levels
+        and min(h, w) // 2 ** (levels + 1) >= match_cfg.min_level_dim
+    ):
+        levels += 1
+    packs1 = _mini_pyramid(img1, levels)
+    packs2 = _mini_pyramid(img2, levels)
+    if pack1 is None:
+        pack1 = packs1[0]
+    if pack2 is None:
+        pack2 = packs2[0]
+    packs1[0], packs2[0] = pack1, pack2
+
+    # Mini-level sweeps use a proportionally smaller patch: the full-size
+    # patch spans most of a mini level and loses discrimination.
+    mini_cost = dataclasses.replace(
+        cost_cfg,
+        patch_radius=match_cfg.mini_patch_radius,
+        patch_stride=1,
+        sigma_spatial=0.5 * match_cfg.mini_patch_radius,
+    )
+
+    if levels > 0:
+        # --- tiny level: global MXU matching ---
+        tiny1, tiny2 = packs1[-1], packs2[-1]
+        d1 = patch_descriptors(tiny1, match_cfg)
+        d2 = patch_descriptors(tiny2, match_cfg)
+        t_y, t_x = global_match(d1, d2, match_cfg.global_block)
+        ys, xs = _grid(tiny1.shape[0], tiny1.shape[1])
+        flow = jnp.stack(
+            [(t_x - xs).astype(jnp.float32), (t_y - ys).astype(jnp.float32)],
+            axis=-1,
+        )
+        flow, _ = descend_level(
+            tiny1, tiny2, flow, match_cfg.descent_radius, mini_cost,
+            tap_chunk,
+        )
+        # --- descend the mini-pyramid with dense residual sweeps ---
+        for lvl in range(levels - 1, -1, -1):
+            oh, ow = packs1[lvl].shape[0], packs1[lvl].shape[1]
+            flow = bilinear_resize(flow, oh, ow, 2.0) * 2.0
+            cc = cost_cfg if lvl == 0 else mini_cost
+            flow, cost = descend_level(
+                packs1[lvl], packs2[lvl], flow, match_cfg.descent_radius,
+                cc, tap_chunk,
+            )
+    else:
+        flow = jnp.zeros((h, w, 2), jnp.float32)
+        gy, gx, _, _ = _flow_to_targets(flow, h, w)
+        cost = rescore(pack1, pack2, gy, gx, cost_cfg, tap_chunk)
+
+    # --- global proposals at full coarse resolution (large-displacement
+    # recall, the role of PatchMatch's global random init) ---
+    if match_cfg.global_at_coarse:
+        dc1 = patch_descriptors(pack1, match_cfg)
+        dc2 = patch_descriptors(pack2, match_cfg)
+        p_y, p_x = global_match(dc1, dc2, match_cfg.global_block)
+        ysc, xsc = _grid(h, w)
+        pgy, pgx = p_y - ysc, p_x - xsc
+        prop_cost = rescore(pack1, pack2, pgy, pgx, cost_cfg, tap_chunk)
+        better = prop_cost < cost
+        flow = jnp.where(
+            better[..., None],
+            jnp.stack(
+                [pgx.astype(jnp.float32), pgy.astype(jnp.float32)], axis=-1
+            ),
+            flow,
+        )
+        cost = jnp.where(better, prop_cost, cost)
+
+    # --- dense jump-flood propagation (spatial coherence) ---
+    if match_cfg.prop_steps:
+        flow, cost = propagate_dense(
+            pack1, pack2, flow, cost, match_cfg.prop_steps, cost_cfg,
+            tap_chunk,
+        )
+
+    # --- final polish sweep at the coarse level ---
+    if match_cfg.final_radius > 0:
+        flow, cost = descend_level(
+            pack1, pack2, flow, match_cfg.final_radius, cost_cfg, tap_chunk
+        )
+
+    ysc, xsc = _grid(h, w)
+    tx = jnp.trunc(flow[..., 0]).astype(jnp.int32) + xsc
+    ty = jnp.trunc(flow[..., 1]).astype(jnp.int32) + ysc
+    return tx, ty, cost

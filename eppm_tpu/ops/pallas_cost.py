@@ -1,0 +1,295 @@
+"""Pallas TPU kernel for the dense residual patch cost — the hot op.
+
+Computes, for K candidate offsets and a set of plane-hypothesis tap
+tables, the bilateral AD+census patch cost between ``pack1`` and the
+pre-warped frame-2 ``warped2`` (see ops/dense.py for the math and the
+reference citations: _d_compute_patch_dist, bao_pmflow_kernel.cu:255-301;
+plane hypotheses :334-513).
+
+Why a kernel: the XLA formulation materializes an (H, W) intermediate per
+tap x candidate x hypothesis (~3600 of them) — every term is a round trip
+to HBM.  Here each grid step DMAs one image tile + halo into VMEM once and
+streams all taps over it; HBM traffic drops by ~2 orders of magnitude.
+
+Mosaic-shaped design (each point is a measured constraint of this
+toolchain, not a stylistic choice):
+  * channel-first (4, H, W) layout — minor dims are image rows/cols, so
+    VMEM tiles are (8, 128)-dense; channel-last pads 4 channels onto 128
+    lanes (32x VMEM waste).
+  * the tap loop is a ``fori_loop`` over a scalar-prefetched offset table
+    — fully unrolling 100 taps x 9 candidates x 4 tables makes Mosaic's
+    compile superlinear (224 s for a 32-step body at one unlucky halo
+    size; hours at full size).
+  * tap shifts are ``pltpu.roll`` with *non-negative* dynamic amounts —
+    dynamic VMEM slices must be provably 8/128-aligned, and negative
+    dynamic roll shifts silently wrap modulo the vreg span (measured);
+    ``(-d) mod dim`` keeps shifts positive and exact.
+  * halos are full sublane/lane tiles (8 / 128): an 8-aligned window
+    compiles ~100x faster than a 4-aligned one (measured 0.7 s vs 209 s).
+  * candidates and hypothesis tables unroll *inside* the tap body as
+    static slices of the rolled window; per-(candidate, table) cost and
+    weight accumulators live in VMEM scratch.
+
+CPU fallback: ops/dense.py's residual_costs is the semantic oracle; the
+auto dispatcher uses it off-TPU (tests compare the two for equality).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import CostConfig
+from .cost import plane_offsets
+
+__all__ = ["residual_costs_pallas", "residual_costs_auto"]
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _cost_kernel(
+    taps_ref,            # (n_taps, 2 + 2*T) int32 scalar prefetch
+    gws_ref,             # (n_taps, 1) float32 scalar prefetch
+    pack1_ref, warped_ref,   # HBM
+    out_ref,             # (K*T, TH, TW) VMEM block
+    p1_ref, w2_ref, r1_ref, r2_ref, acc_ref, sem,
+    *,
+    cands: Tuple[Tuple[int, int], ...],
+    n_taps: int,
+    n_tables: int,
+    HY: int, HX: int, TH: int, TW: int,
+    lam_ad2: float, lam_cen2: float, inv_sig_r2: float,
+):
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    WH = TH + 2 * HY
+    WW = TW + 2 * HX
+
+    copy1 = pltpu.make_async_copy(
+        pack1_ref.at[:, pl.ds(ti * TH, WH), pl.ds(tj * TW, WW)],
+        p1_ref, sem.at[0],
+    )
+    copy2 = pltpu.make_async_copy(
+        warped_ref.at[:, pl.ds(ti * TH, WH), pl.ds(tj * TW, WW)],
+        w2_ref, sem.at[1],
+    )
+    copy1.start()
+    copy2.start()
+    copy1.wait()
+    copy2.wait()
+
+    K = len(cands)
+    acc_ref[:] = jnp.zeros((2 * K * n_tables, TH, TW), jnp.float32)
+
+    p1v = p1_ref[:]
+    w2v = w2_ref[:]
+    c1r = p1v[0, HY : HY + TH, HX : HX + TW]
+    c1g = p1v[1, HY : HY + TH, HX : HX + TW]
+    c1b = p1v[2, HY : HY + TH, HX : HX + TW]
+    centers2 = [
+        (
+            w2v[0, HY + cy : HY + cy + TH, HX + cx : HX + cx + TW],
+            w2v[1, HY + cy : HY + cy + TH, HX + cx : HX + cx + TW],
+            w2v[2, HY + cy : HY + cy + TH, HX + cx : HX + cx + TW],
+        )
+        for (cy, cx) in cands
+    ]
+
+    def tap_body(t, _):
+        dy1 = taps_ref[t, 0]
+        dx1 = taps_ref[t, 1]
+        gw = gws_ref[t, 0]
+        # Non-negative roll amounts (negative dynamic shifts miscompile).
+        # Rolled windows are materialized into scratch refs: slicing a
+        # roll *value* makes Mosaic re-derive the roll per use (~10x the
+        # candidate-loop cost, measured); a ref load is just a load.
+        r1_ref[:] = pltpu.roll(
+            pltpu.roll(p1v, (WH - dy1) % WH, 1), (WW - dx1) % WW, 2
+        )
+        r1 = r1_ref[0, HY : HY + TH, HX : HX + TW]
+        g1 = r1_ref[1, HY : HY + TH, HX : HX + TW]
+        b1 = r1_ref[2, HY : HY + TH, HX : HX + TW]
+        s1 = r1_ref[3, HY : HY + TH, HX : HX + TW].astype(jnp.int32)
+        dr1 = jnp.maximum(
+            jnp.maximum(jnp.abs(c1r - r1), jnp.abs(c1g - g1)),
+            jnp.abs(c1b - b1),
+        )
+        e1 = jnp.exp(-(dr1 * dr1) * inv_sig_r2) * gw
+        for tb in range(n_tables):
+            dy2 = taps_ref[t, 2 + 2 * tb]
+            dx2 = taps_ref[t, 3 + 2 * tb]
+            r2_ref[:] = pltpu.roll(
+                pltpu.roll(w2v, (WH - dy2) % WH, 1), (WW - dx2) % WW, 2
+            )
+            for k, (cy, cx) in enumerate(cands):
+                r2 = r2_ref[0, HY + cy : HY + cy + TH, HX + cx : HX + cx + TW]
+                g2 = r2_ref[1, HY + cy : HY + cy + TH, HX + cx : HX + cx + TW]
+                b2 = r2_ref[2, HY + cy : HY + cy + TH, HX + cx : HX + cx + TW]
+                s2 = r2_ref[3, HY + cy : HY + cy + TH, HX + cx : HX + cx + TW]
+                ad = jnp.maximum(
+                    jnp.maximum(jnp.abs(r1 - r2), jnp.abs(g1 - g2)),
+                    jnp.abs(b1 - b2),
+                )
+                c_ad = 1.0 - jnp.exp(-(ad * ad) * (1.0 / lam_ad2))
+                x = s1 ^ s2.astype(jnp.int32)
+                x = x - ((x >> 1) & 0x55)
+                x = (x & 0x33) + ((x >> 2) & 0x33)
+                ham = ((x + (x >> 4)) & 0x0F).astype(jnp.float32)
+                c_cen = 1.0 - jnp.exp(-(ham * ham) * (1.0 / lam_cen2))
+                k2r, k2g, k2b = centers2[k]
+                dr2 = jnp.maximum(
+                    jnp.maximum(jnp.abs(k2r - r2), jnp.abs(k2g - g2)),
+                    jnp.abs(k2b - b2),
+                )
+                wgt = jnp.exp(-(dr2 * dr2) * inv_sig_r2) * e1
+                idx = 2 * (tb * K + k)
+                acc_ref[idx] = acc_ref[idx] + wgt * (c_ad + c_cen)
+                acc_ref[idx + 1] = acc_ref[idx + 1] + wgt
+        return 0
+
+    jax.lax.fori_loop(0, n_taps, tap_body, 0)
+
+    for tb in range(n_tables):
+        for k in range(K):
+            idx = 2 * (tb * K + k)
+            out_ref[tb * K + k] = acc_ref[idx] / jnp.maximum(
+                acc_ref[idx + 1], 1e-30
+            )
+
+
+def residual_costs_pallas(
+    pack1: jnp.ndarray,
+    warped2: jnp.ndarray,
+    cand_offsets: Sequence[Tuple[int, int]],
+    cfg: CostConfig,
+    use_planes: bool = True,
+    tile: Tuple[int, int] = (128, 128),
+) -> jnp.ndarray:
+    """Per-candidate residual cost, min over plane hypotheses: (K, H, W).
+
+    Semantically identical to ops.dense.residual_costs (the XLA oracle).
+    """
+    h, w = pack1.shape[0], pack1.shape[1]
+    tables = plane_offsets(cfg) if use_planes else [tuple(cfg.tap_offsets)]
+    T = len(tables)
+    sig_s2 = cfg.sigma_spatial * cfg.sigma_spatial
+    n_taps = len(cfg.tap_offsets)
+    taps_arr = np.zeros((n_taps, 2 + 2 * T), np.int32)
+    gws_arr = np.zeros((n_taps, 1), np.float32)
+    for t, (dy1, dx1) in enumerate(cfg.tap_offsets):
+        taps_arr[t, 0] = dy1
+        taps_arr[t, 1] = dx1
+        gws_arr[t, 0] = math.exp(-(dy1 * dy1) / sig_s2) * math.exp(
+            -(dx1 * dx1) / sig_s2
+        )
+        for tb, table in enumerate(tables):
+            taps_arr[t, 2 + 2 * tb] = table[t][0]
+            taps_arr[t, 3 + 2 * tb] = table[t][1]
+
+    R = cfg.patch_radius
+    cmax = max(max(abs(a), abs(b)) for (a, b) in cand_offsets)
+    tmax = max(max(abs(i), abs(j)) for tbl in tables for (i, j) in tbl)
+    reach = max(cmax + tmax, R)
+
+    TH, TW = tile
+    TH = min(TH, _round_up(h, 8))
+    TW = min(TW, _round_up(w, 128))
+    HY = _round_up(reach, 8)
+    HX = _round_up(reach, 128)
+
+    # VMEM budget: 4 window scratches + accumulators + double-buffered out
+    # block; shrink the tile's sublane extent for large K so the scoped
+    # VMEM stays under the hardware limit.
+    K = len(cand_offsets)
+
+    def vmem_bytes(th, tw):
+        win = 4 * (th + 2 * HY) * (tw + 2 * HX) * 4
+        acc = 2 * K * T * th * tw * 4
+        outb = 2 * K * T * th * tw * 4
+        return 4 * win + acc + outb
+
+    while TH > 8 and vmem_bytes(TH, TW) > 14 * 2**20:
+        TH = max(8, _round_up(TH // 2, 8))
+
+    ph = (-h) % TH
+    pw = (-w) % TW
+    hp, wp = h + ph, w + pw
+
+    p1 = jnp.moveaxis(pack1, -1, 0)
+    wd = jnp.moveaxis(warped2, -1, 0)
+    pack1p = jnp.pad(p1, ((0, 0), (HY, HY + ph), (HX, HX + pw)), mode="edge")
+    warped2p = jnp.pad(wd, ((0, 0), (HY, HY + ph), (HX, HX + pw)), mode="edge")
+
+    kern = functools.partial(
+        _cost_kernel,
+        cands=tuple(cand_offsets),
+        n_taps=n_taps,
+        n_tables=T,
+        HY=HY, HX=HX, TH=TH, TW=TW,
+        lam_ad2=cfg.lambda_ad**2,
+        lam_cen2=(cfg.lambda_census * cfg.census_max_diff) ** 2,
+        inv_sig_r2=1.0 / (cfg.sigma_range**2),
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(hp // TH, wp // TW),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(
+            (K * T, TH, TW), lambda i, j, *_: (0, i, j)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((4, TH + 2 * HY, TW + 2 * HX), jnp.float32),
+            pltpu.VMEM((4, TH + 2 * HY, TW + 2 * HX), jnp.float32),
+            pltpu.VMEM((4, TH + 2 * HY, TW + 2 * HX), jnp.float32),
+            pltpu.VMEM((4, TH + 2 * HY, TW + 2 * HX), jnp.float32),
+            pltpu.VMEM((2 * K * T, TH, TW), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((K * T, hp, wp), jnp.float32),
+    )(jnp.asarray(taps_arr), jnp.asarray(gws_arr), pack1p, warped2p)
+
+    out = out[:, :h, :w].reshape(T, K, h, w)
+    return out.min(axis=0)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform not in ("cpu", "gpu")
+    except Exception:
+        return False
+
+
+def residual_costs_auto(
+    pack1: jnp.ndarray,
+    warped2: jnp.ndarray,
+    cand_offsets: Sequence[Tuple[int, int]],
+    cfg: CostConfig,
+    use_planes: bool = True,
+    tap_chunk: int = 25,
+) -> jnp.ndarray:
+    """Dispatch: Pallas kernel on TPU, XLA oracle elsewhere."""
+    if _on_tpu():
+        return residual_costs_pallas(
+            pack1, warped2, cand_offsets, cfg, use_planes
+        )
+    from .dense import residual_costs
+
+    return residual_costs(
+        pack1, warped2, cand_offsets, cfg, use_planes, tap_chunk
+    )

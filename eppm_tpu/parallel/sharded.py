@@ -46,6 +46,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..config import DEFAULT_CONFIG, EPPMConfig, UNKNOWN_FLOW
+from ..ops.dense import dense_refine_flow, warp_pack
+from ..ops.match import match_coarse
 from ..ops.patchmatch import patchmatch
 from ..ops.refine import (
     blf_refine_flow,
@@ -130,14 +132,24 @@ def _pair_flow_tiled(img1, img2, key, cfg: EPPMConfig, ny: int, nx: int):
     top = len(packs1) - 1
 
     # ---- coarsest level: replicated (identical on all (y,x) devices) ----
-    tx1, ty1, c1 = patchmatch(
-        packs1[top], packs2[top], k_fwd, cfg.patchmatch, cfg.cost,
-        cfg.cost_tap_chunk,
-    )
-    tx2, ty2, c2 = patchmatch(
-        packs2[top], packs1[top], k_bwd, cfg.patchmatch, cfg.cost,
-        cfg.cost_tap_chunk,
-    )
+    if cfg.match_engine == "dense":
+        tx1, ty1, c1 = match_coarse(
+            levels1[top], levels2[top], cfg.cost, cfg.match,
+            cfg.cost_tap_chunk, packs1[top], packs2[top],
+        )
+        tx2, ty2, c2 = match_coarse(
+            levels2[top], levels1[top], cfg.cost, cfg.match,
+            cfg.cost_tap_chunk, packs2[top], packs1[top],
+        )
+    else:
+        tx1, ty1, c1 = patchmatch(
+            packs1[top], packs2[top], k_fwd, cfg.patchmatch, cfg.cost,
+            cfg.cost_tap_chunk,
+        )
+        tx2, ty2, c2 = patchmatch(
+            packs2[top], packs1[top], k_bwd, cfg.patchmatch, cfg.cost,
+            cfg.cost_tap_chunk,
+        )
     tx1, ty1, c1, tx2, ty2, c2 = lr_check(
         tx1, ty1, c1, tx2, ty2, c2, cfg.refine.lr_diff_thresh
     )

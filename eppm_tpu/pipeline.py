@@ -41,7 +41,8 @@ import jax.numpy as jnp
 from .config import DEFAULT_CONFIG, EPPMConfig
 from .ops.census import census_transform
 from .ops.cost import pack_frame
-from .ops.dense import dense_refine_flow
+from .ops.dense import dense_refine_flow, median3_flow
+from .ops.match import match_coarse
 from .ops.patchmatch import patchmatch
 from .ops.refine import (
     blf_refine_flow,
@@ -103,15 +104,25 @@ def compute_flow(
     levels2, packs2 = prepare_pyramids(img2, cfg)
     top = len(packs1) - 1
 
-    # --- coarsest level: bidirectional PatchMatch (+ refinement) ---
-    tx1, ty1, c1 = patchmatch(
-        packs1[top], packs2[top], k_fwd, cfg.patchmatch, cfg.cost,
-        cfg.cost_tap_chunk,
-    )
-    tx2, ty2, c2 = patchmatch(
-        packs2[top], packs1[top], k_bwd, cfg.patchmatch, cfg.cost,
-        cfg.cost_tap_chunk,
-    )
+    # --- coarsest level: bidirectional matching (+ refinement) ---
+    if cfg.match_engine == "dense":
+        tx1, ty1, c1 = match_coarse(
+            levels1[top], levels2[top], cfg.cost, cfg.match,
+            cfg.cost_tap_chunk, packs1[top], packs2[top],
+        )
+        tx2, ty2, c2 = match_coarse(
+            levels2[top], levels1[top], cfg.cost, cfg.match,
+            cfg.cost_tap_chunk, packs2[top], packs1[top],
+        )
+    else:
+        tx1, ty1, c1 = patchmatch(
+            packs1[top], packs2[top], k_fwd, cfg.patchmatch, cfg.cost,
+            cfg.cost_tap_chunk,
+        )
+        tx2, ty2, c2 = patchmatch(
+            packs2[top], packs1[top], k_bwd, cfg.patchmatch, cfg.cost,
+            cfg.cost_tap_chunk,
+        )
     tx1, ty1, c1, tx2, ty2, c2 = lr_check(
         tx1, ty1, c1, tx2, ty2, c2, cfg.refine.lr_diff_thresh
     )
@@ -133,6 +144,11 @@ def compute_flow(
                 flow, packs1[lvl], packs2[lvl], cfg.cost,
                 cfg.dense_search_radius, True, cfg.cost_tap_chunk,
             )
+            for _ in range(cfg.dense_refine_passes - 1):
+                flow = dense_refine_flow(
+                    median3_flow(flow), packs1[lvl], packs2[lvl], cfg.cost,
+                    cfg.dense_search_radius, True, cfg.cost_tap_chunk,
+                )
         else:
             flow = blf_refine_flow(
                 flow, packs1[lvl], packs2[lvl], cfg.cost, cfg.cost_tap_chunk
