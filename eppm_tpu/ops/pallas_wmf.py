@@ -1,0 +1,292 @@
+"""Pallas TPU kernel for the weighted median displacement filter.
+
+Spec: ``d_weighted_median_filtering`` (bao_pmflow_refine_kernel.cu:206-286)
+— for each pixel, every valid displacement in the (2R+1)^2 window is a
+candidate; the winner minimizes the bilateral-weighted L-inf deviation
+from the window's valid displacements; iterated (20x occlusion-only on
+the coarsest level, bao_flow_patchmatch_multiscale_cuda.cpp:239).
+ops/refine.py's ``weighted_median_filter`` is the XLA oracle with
+identical semantics; this kernel exists because the XLA form dispatches
+81 x 81 x 20 small stencil ops (~560 ms at 160x120 — 75% of the whole
+pipeline), while here the entire iteration runs out of VMEM in a single
+kernel launch.
+
+Structure: the full (coarse-level) image lives in VMEM; candidate and
+support windows iterate in 2-level blocked loops so each dynamic roll of
+the displacement planes is reused across a block of pairs; the bilateral
+support weights (image-dependent, iteration-invariant) are precomputed in
+XLA, stored (81, H, W) in HBM, and DMA'd slab-by-slab.  The 20 Jacobi
+iterations run inside the kernel — zero HBM round trips between them.
+
+Padding doubles as the boundary mask: arrays are padded to vreg-aligned
+dims with valid=0, so circular rolls wrap into dead (zero-weight) pixels
+— provided pad >= window radius on each axis, which the caller enforces.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import FLT_MAX, RefineConfig
+
+__all__ = ["weighted_median_filter_pallas", "weighted_median_filter_auto"]
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _wmf_kernel(
+    offs_ref,                       # (81, 2) int32 window offsets
+    ox_in, oy_in, valid_in, wimg_ref,   # inputs (wimg in HBM)
+    ox_out, oy_out, valid_out,      # outputs (VMEM)
+    ox_ref, oy_ref, val_ref,        # state planes
+    c_ref,                          # (3*SB, H, W) candidate-block rolls
+    s_ref,                          # (3*SB, H, W) support-block rolls
+    w_ref,                          # (SB, H, W) DMA'd support weights
+    acc_ref,                        # (2*SB, H, W) per-candidate cost/weight
+    best_ref,                       # (3, H, W) best cost/ox/oy
+    sem,
+    *,
+    n_offs: int,
+    SB: int,
+    num_iter: int,
+    only_occlusion: bool,
+    HP: int, WP: int,
+):
+    ox_ref[:] = ox_in[:]
+    oy_ref[:] = oy_in[:]
+    val_ref[:] = valid_in[:]
+    n_blocks = n_offs // SB
+
+    def roll2(x, dy, dx):
+        return pltpu.roll(pltpu.roll(x, (HP - dy) % HP, 0), (WP - dx) % WP, 1)
+
+    def one_iter(it, _):
+        ox = ox_ref[:]
+        oy = oy_ref[:]
+        val = val_ref[:]
+        best_ref[0] = jnp.full((HP, WP), FLT_MAX, jnp.float32)
+        best_ref[1] = ox
+        best_ref[2] = oy
+
+        def c_block(cb, _):
+            # roll the SB candidates of this block
+            def load_c(i, _):
+                dy = offs_ref[cb * SB + i, 0]
+                dx = offs_ref[cb * SB + i, 1]
+                c_ref[3 * i] = roll2(ox, dy, dx)
+                c_ref[3 * i + 1] = roll2(oy, dy, dx)
+                c_ref[3 * i + 2] = roll2(val, dy, dx)
+                return 0
+
+            jax.lax.fori_loop(0, SB, load_c, 0)
+            acc_ref[:] = jnp.zeros((2 * SB, HP, WP), jnp.float32)
+
+            def s_block(sb, _):
+                cp = pltpu.make_async_copy(
+                    wimg_ref.at[pl.ds(sb * SB, SB)], w_ref, sem
+                )
+                cp.start()
+
+                def load_s(i, _):
+                    dy = offs_ref[sb * SB + i, 0]
+                    dx = offs_ref[sb * SB + i, 1]
+                    s_ref[3 * i] = roll2(ox, dy, dx)
+                    s_ref[3 * i + 1] = roll2(oy, dy, dx)
+                    s_ref[3 * i + 2] = roll2(val, dy, dx)
+                    return 0
+
+                jax.lax.fori_loop(0, SB, load_s, 0)
+                cp.wait()
+                for si in range(SB):
+                    sox = s_ref[3 * si]
+                    soy = s_ref[3 * si + 1]
+                    w = w_ref[si] * s_ref[3 * si + 2]
+                    for ci in range(SB):
+                        dev = jnp.maximum(
+                            jnp.abs(c_ref[3 * ci] - sox),
+                            jnp.abs(c_ref[3 * ci + 1] - soy),
+                        )
+                        acc_ref[2 * ci] = acc_ref[2 * ci] + w * dev
+                        acc_ref[2 * ci + 1] = acc_ref[2 * ci + 1] + w
+                return 0
+
+            jax.lax.fori_loop(0, n_blocks, s_block, 0)
+
+            for ci in range(SB):
+                cost = jnp.where(
+                    c_ref[3 * ci + 2] > 0, acc_ref[2 * ci], FLT_MAX
+                )
+                better = (acc_ref[2 * ci + 1] > 0) & (cost < best_ref[0])
+                best_ref[0] = jnp.where(better, cost, best_ref[0])
+                best_ref[1] = jnp.where(better, c_ref[3 * ci], best_ref[1])
+                best_ref[2] = jnp.where(
+                    better, c_ref[3 * ci + 1], best_ref[2]
+                )
+            return 0
+
+        jax.lax.fori_loop(0, n_blocks, c_block, 0)
+
+        found = best_ref[0] < FLT_MAX
+        if only_occlusion:
+            replace = found & (val_ref[:] == 0)
+        else:
+            replace = found
+        ox_ref[:] = jnp.where(replace, best_ref[1], ox_ref[:])
+        oy_ref[:] = jnp.where(replace, best_ref[2], oy_ref[:])
+        # validity of replaced pixels follows the reconstructed absolute
+        # target (tx = ox + x >= 0), as the oracle recomputes per pass
+        ys_f = jax.lax.broadcasted_iota(jnp.int32, (HP, WP), 0).astype(
+            jnp.float32
+        )
+        xs_f = jax.lax.broadcasted_iota(jnp.int32, (HP, WP), 1).astype(
+            jnp.float32
+        )
+        new_valid = (
+            (best_ref[1] + xs_f >= 0) & (best_ref[2] + ys_f >= 0)
+        ).astype(jnp.float32)
+        val_ref[:] = jnp.where(replace, new_valid, val_ref[:])
+        return 0
+
+    jax.lax.fori_loop(0, num_iter, one_iter, 0)
+    ox_out[:] = ox_ref[:]
+    oy_out[:] = oy_ref[:]
+    valid_out[:] = val_ref[:]
+
+
+def weighted_median_filter_pallas(
+    tx: jnp.ndarray,
+    ty: jnp.ndarray,
+    img: jnp.ndarray,
+    cfg: RefineConfig = RefineConfig(),
+    num_iter: int = 1,
+    only_occlusion: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Drop-in for ops.refine.weighted_median_filter on TPU.
+
+    Semantics notes vs the oracle: replaced pixels become valid for
+    subsequent iterations in both implementations; INVALID target fields
+    are reconstructed as offset+position for replaced pixels and passed
+    through unchanged otherwise.
+    """
+    from ..config import INVALID_LOCATION
+
+    h, w = tx.shape
+    r = cfg.wmf_radius
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    valid = ((tx >= 0) & (ty >= 0)).astype(jnp.float32)
+    ox = jnp.where(valid > 0, (tx - xs).astype(jnp.float32), 0.0)
+    oy = jnp.where(valid > 0, (ty - ys).astype(jnp.float32), 0.0)
+
+    # pad to vreg-aligned dims; pad area has valid=0 (boundary mask)
+    HP = _round_up(h, 8) + 8
+    WP = _round_up(w + 2 * r, 128)
+    pys, pxs = HP - h, WP - w
+    oxp = jnp.pad(ox, ((0, pys), (0, pxs)))
+    oyp = jnp.pad(oy, ((0, pys), (0, pxs)))
+    vp = jnp.pad(valid, ((0, pys), (0, pxs)))
+
+    # bilateral support weights, iteration-invariant (image term)
+    offs = [(dy, dx) for dy in range(-r, r + 1) for dx in range(-r, r + 1)]
+    sig_s2 = cfg.wmf_sigma_spatial**2
+    sig_r2 = cfg.wmf_sigma_range**2
+    gws = np.asarray(
+        [
+            math.exp(-(dy * dy) / sig_s2) * math.exp(-(dx * dx) / sig_s2)
+            for dy, dx in offs
+        ],
+        np.float32,
+    )
+    pimg = jnp.pad(img, ((r, r), (r, r), (0, 0)), mode="edge")
+    wimgs = []
+    for k, (dy, dx) in enumerate(offs):
+        spix = jax.lax.dynamic_slice(pimg, (r + dy, r + dx, 0), (h, w, 3))
+        d = jnp.abs(spix - img)
+        dr = jnp.maximum(jnp.maximum(d[..., 0], d[..., 1]), d[..., 2])
+        wimgs.append(jnp.exp(-(dr * dr) / sig_r2) * gws[k])
+    wimg = jnp.pad(jnp.stack(wimgs), ((0, 0), (0, pys), (0, pxs)))
+
+    n_offs = len(offs)
+    SB = 9  # block size; 81 = 9 x 9
+    offs_arr = jnp.asarray(offs, jnp.int32)
+
+    kern = functools.partial(
+        _wmf_kernel,
+        n_offs=n_offs, SB=SB, num_iter=num_iter,
+        only_occlusion=only_occlusion, HP=HP, WP=WP,
+    )
+    plane = lambda n: pltpu.VMEM((n, HP, WP), jnp.float32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        scratch_shapes=[
+            pltpu.VMEM((HP, WP), jnp.float32),
+            pltpu.VMEM((HP, WP), jnp.float32),
+            pltpu.VMEM((HP, WP), jnp.float32),
+            plane(3 * SB),
+            plane(3 * SB),
+            plane(SB),
+            plane(2 * SB),
+            plane(3),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    ox2, oy2, v2 = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((HP, WP), jnp.float32)] * 3,
+    )(offs_arr, oxp, oyp, vp, wimg)
+
+    ox2 = ox2[:h, :w]
+    oy2 = oy2[:h, :w]
+    v2 = v2[:h, :w] > 0
+    new_tx = jnp.where(v2, ox2.astype(jnp.int32) + xs, tx)
+    new_ty = jnp.where(v2, oy2.astype(jnp.int32) + ys, ty)
+    return new_tx, new_ty
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform not in ("cpu", "gpu")
+    except Exception:
+        return False
+
+
+def weighted_median_filter_auto(
+    tx, ty, img, cfg: RefineConfig = RefineConfig(),
+    num_iter: int = 1, only_occlusion: bool = False,
+    support_chunk: int = 27,
+):
+    """Dispatch: Pallas kernel on TPU (when the image fits VMEM), XLA
+    oracle elsewhere."""
+    h, w = tx.shape
+    # VMEM need ~ (3 + 9*SB(=81->~99 planes)) * HP * WP * 4
+    HP = _round_up(h, 8) + 8
+    WP = _round_up(w + 2 * cfg.wmf_radius, 128)
+    est = 100 * HP * WP * 4
+    if _on_tpu() and est < 14 * 2**20 and (2 * cfg.wmf_radius + 1) ** 2 == 81:
+        return weighted_median_filter_pallas(
+            tx, ty, img, cfg, num_iter, only_occlusion
+        )
+    from .refine import weighted_median_filter
+
+    return weighted_median_filter(
+        tx, ty, img, cfg, num_iter, only_occlusion, support_chunk
+    )

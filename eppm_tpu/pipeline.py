@@ -54,6 +54,7 @@ from .ops.refine import (
     outlier_removal,
     weighted_median_filter,
 )
+from .ops.pallas_wmf import weighted_median_filter_auto
 from .ops.resize import bilinear_resize, gaussian_filter, gaussian_pyramid
 
 __all__ = ["prepare_pyramids", "compute_flow", "compute_flow_jit", "EPPMFlow"]
@@ -127,7 +128,7 @@ def compute_flow(
         tx1, ty1, c1, tx2, ty2, c2, cfg.refine.lr_diff_thresh
     )
     tx1, ty1, c1 = outlier_removal(tx1, ty1, c1, cfg.refine)
-    tx1, ty1 = weighted_median_filter(
+    tx1, ty1 = weighted_median_filter_auto(
         tx1, ty1, levels1[top], cfg.refine,
         num_iter=cfg.refine.wmf_coarse_iters, only_occlusion=True,
     )
