@@ -1,0 +1,206 @@
+"""Command-line driver for the EPPM-TPU optical-flow engine.
+
+The reference driver (main.cpp:36-79) hardcodes two PPM filenames and a
+640x480 resolution with zero flags; every parameter is a compile-time
+#define (defs.h:31-91).  This CLI exposes the same pipeline with a real
+flag surface: any resolution, any EPPMConfig field overridable, .flo /
+color-PPM outputs, optional ground-truth evaluation (EPE/AAE/bad-pixel,
+the bao_calc_flow_error math, basic/bao_flow_tools.cpp:64-141), batch
+mode over frame sequences, and multi-device meshes.
+
+Usage:
+  python -m eppm_tpu.cli frame10.ppm frame11.ppm -o flow.flo --viz flow.ppm
+  python -m eppm_tpu.cli frame10.ppm frame11.ppm --gt gt.flo
+  python -m eppm_tpu.cli --eval-dir middlebury/ --pattern "frame10.ppm,frame11.ppm,flow10.flo"
+  python -m eppm_tpu.cli a.ppm b.ppm --set refine.wmf_coarse_iters=10 --set match_engine=patchmatch
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+from typing import Any, List, Optional, Tuple
+
+import numpy as np
+
+from .config import DEFAULT_CONFIG, EPPMConfig
+
+__all__ = ["main", "apply_overrides", "load_image"]
+
+
+def apply_overrides(cfg: EPPMConfig, overrides: List[str]) -> EPPMConfig:
+    """Apply "dotted.path=value" overrides to the (frozen) config tree."""
+    for ov in overrides:
+        if "=" not in ov:
+            raise SystemExit(f"--set expects key=value, got {ov!r}")
+        path, raw = ov.split("=", 1)
+        keys = path.split(".")
+        # parse value: try python literal, fall back to string
+        try:
+            import ast
+
+            value: Any = ast.literal_eval(raw)
+        except (ValueError, SyntaxError):
+            value = raw
+
+        def rebuild(node, ks):
+            if not hasattr(node, ks[0]):
+                raise SystemExit(f"unknown config field {path!r}")
+            if len(ks) == 1:
+                return dataclasses.replace(node, **{ks[0]: value})
+            child = getattr(node, ks[0])
+            return dataclasses.replace(
+                node, **{ks[0]: rebuild(child, ks[1:])}
+            )
+
+        cfg = rebuild(cfg, keys)
+    return cfg
+
+
+def load_image(path: str) -> np.ndarray:
+    """Load a PPM/PGM (native loader) or anything PIL can read."""
+    from .io import read_ppm
+
+    if path.lower().endswith((".ppm", ".pgm", ".pnm")):
+        return read_ppm(path)
+    try:
+        from PIL import Image
+
+        return np.asarray(Image.open(path).convert("RGB"))
+    except ImportError as e:
+        raise SystemExit(
+            f"{path}: only PPM/PGM supported without PIL ({e})"
+        )
+
+
+def _compute(img1, img2, cfg, mesh_shape=None):
+    import jax
+    import jax.numpy as jnp
+
+    from .pipeline import compute_flow_jit
+
+    if mesh_shape:
+        from .parallel import compute_flow_sharded, make_mesh
+
+        b, y, x = mesh_shape
+        mesh = make_mesh(batch=b, y=y, x=x)
+        out = compute_flow_sharded(
+            jnp.asarray(img1)[None], jnp.asarray(img2)[None], mesh, cfg
+        )
+        return np.asarray(out[0])
+    return np.asarray(
+        compute_flow_jit(jnp.asarray(img1), jnp.asarray(img2), None, cfg)
+    )
+
+
+def _evaluate(flow, gt_path, border):
+    from .io.flo import read_flo
+    from .metrics import bad_pixel_rate, flow_error
+
+    gt = read_flo(gt_path)
+    epe, aae = flow_error(flow, gt, border=border)
+    bad = bad_pixel_rate(flow, gt, thresh=3.0)
+    return {"epe": epe, "aae_deg": aae, "bad3": bad}
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    p = argparse.ArgumentParser(
+        prog="eppm-tpu", description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    p.add_argument("frame1", nargs="?", help="first frame (PPM or PIL-readable)")
+    p.add_argument("frame2", nargs="?", help="second frame")
+    p.add_argument("-o", "--out", help="write flow as .flo")
+    p.add_argument("--viz", help="write color-coded flow as .ppm")
+    p.add_argument("--gt", help="ground-truth .flo for EPE/AAE evaluation")
+    p.add_argument("--border", type=int, default=0,
+                   help="border pixels to skip in evaluation")
+    p.add_argument("--set", action="append", default=[], metavar="K=V",
+                   help="config override, e.g. refine.wmf_coarse_iters=10")
+    p.add_argument("--mesh", metavar="B,Y,X",
+                   help="device mesh (batch,y,x) for multi-chip execution")
+    p.add_argument("--eval-dir", metavar="DIR",
+                   help="evaluate every sequence directory under DIR")
+    p.add_argument("--pattern", default="frame10.ppm,frame11.ppm,flow10.flo",
+                   metavar="F1,F2,GT",
+                   help="filenames inside each sequence dir for --eval-dir")
+    p.add_argument("--time", action="store_true",
+                   help="report steady-state wall time (2nd run)")
+    p.add_argument("--json", action="store_true", help="machine-readable output")
+    args = p.parse_args(argv)
+
+    cfg = apply_overrides(DEFAULT_CONFIG, args.set)
+    mesh_shape = None
+    if args.mesh:
+        mesh_shape = tuple(int(v) for v in args.mesh.split(","))
+        if len(mesh_shape) != 3:
+            raise SystemExit("--mesh expects B,Y,X")
+
+    if args.eval_dir:
+        f1n, f2n, gtn = args.pattern.split(",")
+        results = {}
+        for name in sorted(os.listdir(args.eval_dir)):
+            d = os.path.join(args.eval_dir, name)
+            f1 = os.path.join(d, f1n)
+            f2 = os.path.join(d, f2n)
+            gt = os.path.join(d, gtn)
+            if not (os.path.isfile(f1) and os.path.isfile(f2)):
+                continue
+            flow = _compute(load_image(f1), load_image(f2), cfg, mesh_shape)
+            if os.path.isfile(gt):
+                results[name] = _evaluate(flow, gt, args.border)
+            else:
+                results[name] = {"epe": None}
+        epes = [r["epe"] for r in results.values() if r.get("epe") is not None]
+        summary = {
+            "sequences": results,
+            "mean_epe": float(np.mean(epes)) if epes else None,
+        }
+        print(json.dumps(summary, indent=None if args.json else 2))
+        return 0
+
+    if not (args.frame1 and args.frame2):
+        p.error("frame1 and frame2 required (or --eval-dir)")
+
+    img1 = load_image(args.frame1)
+    img2 = load_image(args.frame2)
+    t0 = time.perf_counter()
+    flow = _compute(img1, img2, cfg, mesh_shape)
+    t_first = time.perf_counter() - t0
+    report = {"shape": list(flow.shape[:2]), "time_s": round(t_first, 4)}
+    if args.time:
+        t0 = time.perf_counter()
+        flow = _compute(img1, img2, cfg, mesh_shape)
+        report["steady_time_s"] = round(time.perf_counter() - t0, 4)
+        report["fps"] = round(1.0 / max(report["steady_time_s"], 1e-9), 3)
+
+    if args.out:
+        from .io.flo import write_flo
+
+        write_flo(args.out, flow)
+        report["flo"] = args.out
+    if args.viz:
+        import jax.numpy as jnp
+
+        from .io import write_ppm
+        from .ops.color import flow_to_color
+
+        write_ppm(args.viz, np.asarray(flow_to_color(jnp.asarray(flow))))
+        report["viz"] = args.viz
+    if args.gt:
+        report.update(_evaluate(flow, args.gt, args.border))
+
+    if args.json:
+        print(json.dumps(report))
+    else:
+        for k, v in report.items():
+            print(f"{k}: {v}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

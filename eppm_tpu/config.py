@@ -227,6 +227,11 @@ class EPPMConfig:
     # Residual search radius for the dense path (reference re-search grid
     # is 3x3 == radius 1; radius 2 widens recovery from warp error).
     dense_search_radius: int = 1
+    # Optional subpixel refinement (quadratic fit on a half-pixel cost
+    # grid, ops/subpixel.py) after the last integer refine.  The
+    # reference allocates buffers for this stage but never calls it in
+    # its default path (.cpp:135-136) — default off to match.
+    subpixel_refine: bool = False
     # Iterative-warping passes per fine level: between passes the integer
     # flow is 3x3-median-filtered and frame 2 re-warped, making the
     # warp-approximated taps self-consistent (kills the +-1 px noise halo

@@ -17,7 +17,59 @@ import jax.numpy as jnp
 
 from ..config import UNKNOWN_FLOW_THRESH
 
-__all__ = ["luminance", "make_color_wheel", "flow_to_color"]
+__all__ = [
+    "rgb2yuv", "yuv2rgb", "rgb2luv", "luminance", "make_color_wheel",
+    "flow_to_color",
+]
+
+
+def rgb2yuv(img: jnp.ndarray) -> jnp.ndarray:
+    """BT.601-style RGB->YUV on uint8-range values with the reference's
+    coefficients, +128 chroma offset, +0.5 round and [0,255] clamp
+    (bao_rgb2yuv_pixel, basic/bao_basic.h:736-746)."""
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b + 0.5
+    u = -0.169 * r - 0.331 * g + 0.5 * b + 128.0 + 0.5
+    v = 0.5 * r - 0.419 * g - 0.081 * b + 128.0 + 0.5
+    return jnp.clip(jnp.stack([y, u, v], -1), 0.0, 255.0)
+
+
+def yuv2rgb(img: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of rgb2yuv with the reference's (asymmetric) coefficients
+    (bao_yuv2rgb_pixel, basic/bao_basic.h:757-770)."""
+    y = img[..., 0]
+    u = img[..., 1] - 128.0
+    v = img[..., 2] - 128.0
+    r = y + 1.4 * v
+    g = y - 0.3437 * u - 0.71417 * v
+    b = y + 1.77 * u
+    return jnp.clip(jnp.stack([r, g, b], -1) + 0.5, 0.0, 255.0)
+
+
+def rgb2luv(img: jnp.ndarray) -> jnp.ndarray:
+    """RGB (uint8 range) -> CIE LUV rescaled to [0,255] per channel
+    (bao_rgb2luv_pixel, basic/bao_basic.h:629-670)."""
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    x = 0.4125 * r + 0.3576 * g + 0.1804 * b
+    y = 0.2125 * r + 0.7154 * g + 0.0721 * b
+    z = 0.0193 * r + 0.1192 * g + 0.9502 * b
+    l0 = y / 255.0
+    L = jnp.where(
+        l0 > 0.008856, 116.0 * jnp.cbrt(l0) - 16.0, 903.3 * l0
+    )
+    const = x + 15.0 * y + 3.0 * z
+    u_p = jnp.where(const != 0, 4.0 * x / jnp.where(const != 0, const, 1.0), 4.0)
+    v_p = jnp.where(const != 0, 9.0 * y / jnp.where(const != 0, const, 1.0), 0.6)
+    us = 13.0 * L * (u_p - 0.19784977571475)
+    vs = 13.0 * L * (v_p - 0.46834507665248)
+    return jnp.stack(
+        [
+            L * (255.0 / 100.0),
+            jnp.minimum((us + 83.138) * 255.0 / 258.343, 255.0),
+            jnp.minimum((vs + 134.104) * 255.0 / 241.518, 255.0),
+        ],
+        -1,
+    )
 
 
 def luminance(img: jnp.ndarray) -> jnp.ndarray:

@@ -267,6 +267,77 @@ def patch_cost_planefitting(
     return cost
 
 
+def patch_cost_scaled(
+    pack1: jnp.ndarray,
+    pack2: jnp.ndarray,
+    tx: jnp.ndarray,
+    ty: jnp.ndarray,
+    scale: jnp.ndarray,
+    cfg: CostConfig = CostConfig(),
+    tap_chunk: int = 25,
+) -> jnp.ndarray:
+    """Scaled-patch bilateral AD cost (_d_compute_patch_dist_scaled,
+    bao_pmflow_kernel.cu:588-634): frame-2 taps sample at
+    floor(t + d * scale) with a per-pixel patch scale; the census term is
+    disabled in the reference variant (commented out, :610-615) and is
+    omitted here too.
+    """
+    H, W = tx.shape
+    H2, W2 = pack2.shape[0], pack2.shape[1]
+    R = cfg.patch_radius
+    sig_s2 = cfg.sigma_spatial * cfg.sigma_spatial
+    lam_ad2 = cfg.lambda_ad * cfg.lambda_ad
+    inv_sig_r2 = 1.0 / (cfg.sigma_range * cfg.sigma_range)
+
+    pad1 = jnp.pad(pack1, ((R, R), (R, R), (0, 0)), mode="edge")
+    pack2_flat = pack2.reshape(-1, 4)
+    txc = jnp.clip(tx, 0, W2 - 1)
+    tyc = jnp.clip(ty, 0, H2 - 1)
+    center1 = pack1[..., :3]
+    center2 = jnp.take(pack2_flat, tyc * W2 + txc, axis=0)[..., :3]
+
+    taps = []
+    gws = []
+    for (i, j) in cfg.tap_offsets:
+        taps.append((i, j))
+        gws.append(
+            math.exp(-(j * j) / sig_s2) * math.exp(-(i * i) / sig_s2)
+        )
+    n_pad = (-len(taps)) % tap_chunk
+    taps += [(0, 0)] * n_pad
+    gws += [0.0] * n_pad
+    tap_arr = np.asarray(taps, np.int32).reshape(-1, tap_chunk, 2)
+    gw_arr = np.asarray(gws, np.float32).reshape(-1, tap_chunk)
+
+    def one_tap(tap, gw):
+        i, j = tap[0], tap[1]
+        p1 = jax.lax.dynamic_slice(pad1, (R + i, R + j, 0), (H, W, 4))
+        # floor(t + d*s) == t + floor(d*s) for integer t
+        oy = jnp.floor(i.astype(jnp.float32) * scale).astype(jnp.int32)
+        ox = jnp.floor(j.astype(jnp.float32) * scale).astype(jnp.int32)
+        cy = jnp.clip(ty + oy, 0, H2 - 1)
+        cx = jnp.clip(tx + ox, 0, W2 - 1)
+        p2 = jnp.take(pack2_flat, cy * W2 + cx, axis=0)
+        ad = _maxabs3(p1[..., :3], p2[..., :3])
+        c_ad = 1.0 - jnp.exp(-(ad * ad) / lam_ad2)
+        dr1 = _maxabs3(center1, p1[..., :3])
+        dr2 = _maxabs3(center2, p2[..., :3])
+        w = jnp.exp(-(dr1 * dr1 + dr2 * dr2) * inv_sig_r2) * gw
+        return w * c_ad, w
+
+    def chunk_step(carry, data):
+        acc_c, acc_w = carry
+        tap, gw = data
+        cs, ws = jax.vmap(one_tap)(tap, gw)
+        return (acc_c + cs.sum(0), acc_w + ws.sum(0)), None
+
+    init = (jnp.zeros((H, W), jnp.float32), jnp.zeros((H, W), jnp.float32))
+    (cost_sum, weight_sum), _ = jax.lax.scan(
+        chunk_step, init, (jnp.asarray(tap_arr), jnp.asarray(gw_arr))
+    )
+    return cost_sum / jnp.maximum(weight_sum, 1e-30)
+
+
 def patch_cost_ad_l2(
     img1: jnp.ndarray,
     img2: jnp.ndarray,

@@ -91,18 +91,28 @@ def median3_flow(flow: jnp.ndarray) -> jnp.ndarray:
 
 
 def warp_pack(
-    pack2: jnp.ndarray, gx: jnp.ndarray, gy: jnp.ndarray
+    pack2: jnp.ndarray,
+    gx: jnp.ndarray,
+    gy: jnp.ndarray,
+    origin: Tuple = (0, 0),
 ) -> jnp.ndarray:
     """J(p) = pack2 at (y + gy(p), x + gx(p)), edge-clamped.
 
     One flat gather of all 4 channels; this is the single data-dependent
-    memory access of the dense refinement path.
+    memory access of the dense refinement path.  ``origin`` gives the
+    global position of (gx, gy)'s top-left pixel when warping a shard
+    tile against the full replicated frame 2.
     """
     h2, w2 = pack2.shape[0], pack2.shape[1]
     h, w = gx.shape
     ys, xs = _grid(h, w)
-    cy = jnp.clip(ys + gy, 0, h2 - 1)
-    cx = jnp.clip(xs + gx, 0, w2 - 1)
+    # Position clamps first: a halo pixel beyond the global image border
+    # reproduces the edge-padded warp of the single-chip path
+    # (warped2(clamp(q)) = pack2(clip(clamp(q) + g(clamp(q))))).
+    py = jnp.clip(ys + origin[0], 0, h2 - 1)
+    px = jnp.clip(xs + origin[1], 0, w2 - 1)
+    cy = jnp.clip(py + gy, 0, h2 - 1)
+    cx = jnp.clip(px + gx, 0, w2 - 1)
     flat = pack2.reshape(h2 * w2, pack2.shape[2])
     return jnp.take(flat, cy * w2 + cx, axis=0)
 
@@ -233,6 +243,7 @@ def dense_refine_flow(
     use_planes: bool = True,
     tap_chunk: int = 25,
     warped2: Optional[jnp.ndarray] = None,
+    origin: Tuple = (0, 0),
 ) -> jnp.ndarray:
     """Drop-in dense replacement for ``blf_refine_flow`` (ops/refine.py).
 
@@ -243,19 +254,22 @@ def dense_refine_flow(
     first-best in reference scan order — all matching the reference kernel
     (bao_pmflow_kernel.cu:2005-2041).
 
-    ``warped2`` lets callers (e.g. the sharded pipeline) supply a
-    pre-warped pack; otherwise it is built here from trunc(flow).
+    ``warped2`` lets callers supply a pre-warped pack; ``origin`` is the
+    global position of the tile's top-left pixel (sharded fine levels run
+    this on tile+halo domains against the full replicated frame 2).
     """
     h, w = flow.shape[:2]
     h2, w2 = pack2.shape[0], pack2.shape[1]
     ys, xs = _grid(h, w)
+    ys = ys + origin[0]
+    xs = xs + origin[1]
     u, v = flow[..., 0], flow[..., 1]
     unknown = (u > UNKNOWN_FLOW_THRESH) | (v > UNKNOWN_FLOW_THRESH)
     gx = jnp.trunc(jnp.where(unknown, 0.0, u)).astype(jnp.int32)
     gy = jnp.trunc(jnp.where(unknown, 0.0, v)).astype(jnp.int32)
 
     if warped2 is None:
-        warped2 = warp_pack(pack2, gx, gy)
+        warped2 = warp_pack(pack2, gx, gy, origin)
 
     r = search_radius
     cand_offsets = [(m, n) for m in range(-r, r + 1) for n in range(-r, r + 1)]

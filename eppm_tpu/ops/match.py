@@ -138,6 +138,10 @@ def global_match(
             )
             - hn_blk[None, :]
         )
+        # Quantize so near-ties resolve identically regardless of how a
+        # given XLA compilation reassociates the dot reduction (the
+        # sharded and monolithic pipelines must take the same argmax).
+        scores = jnp.round(scores * 4096.0)
         s = jnp.max(scores, axis=1)
         i = jnp.argmax(scores, axis=1).astype(jnp.int32) + j * block
         better = s > best_s

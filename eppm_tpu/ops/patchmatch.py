@@ -30,9 +30,22 @@ import jax
 import jax.numpy as jnp
 
 from ..config import CostConfig, PatchMatchConfig
-from .cost import patch_cost, patch_cost_candidates
+from .cost import (
+    patch_cost,
+    patch_cost_candidates,
+    patch_cost_planefitting,
+    patch_cost_scaled,
+)
 
-__all__ = ["random_init", "propagate_round", "random_search", "patchmatch"]
+__all__ = [
+    "random_init",
+    "random_init_scaled",
+    "propagate_round",
+    "random_search",
+    "patchmatch",
+    "patchmatch_scaled",
+    "patchmatch_planefitting",
+]
 
 
 def random_init(
@@ -176,6 +189,157 @@ def patchmatch(
             iter_key, pack1, pack2, tx, ty, cost, pm_cfg, cost_cfg, tap_chunk
         )
         return tx, ty, cost
+
+    tx, ty, cost = jax.lax.fori_loop(
+        0, pm_cfg.num_iters, one_iter, (tx, ty, cost)
+    )
+    return tx, ty, cost
+
+
+def random_init_scaled(
+    key: jax.Array, h: int, w: int,
+    scale_range: int = 9, scale_min: int = 4,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Random NNF plus per-pixel patch scale (d_gen_rand_field_scaled,
+    bao_pmflow_kernel.cu:112-151): scale = (10 + (r % range) - min)/10,
+    i.e. 0.6..1.4 for the defaults (the reference comment says 0.9~1.3;
+    the code says otherwise — we follow the code)."""
+    kx, ky, ks = jax.random.split(key, 3)
+    tx = jax.random.randint(kx, (h, w), 0, w + 1, dtype=jnp.int32)
+    ty = jax.random.randint(ky, (h, w), 0, h + 1, dtype=jnp.int32)
+    r = jax.random.randint(ks, (h, w), 0, scale_range, dtype=jnp.int32)
+    scale = (10.0 + (r - scale_min).astype(jnp.float32)) / 10.0
+    return tx, ty, scale
+
+
+@partial(jax.jit, static_argnames=("pm_cfg", "cost_cfg", "tap_chunk"))
+def patchmatch_scaled(
+    pack1: jnp.ndarray,
+    pack2: jnp.ndarray,
+    key: jax.Array,
+    pm_cfg: PatchMatchConfig = PatchMatchConfig(),
+    cost_cfg: CostConfig = CostConfig(),
+    tap_chunk: int = 25,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Scale-adaptive PatchMatch (baoCudaPatchMatch_Scaled,
+    bao_pmflow_kernel.cu:1828-1896): the NNF carries a per-pixel patch
+    scale; propagation passes the neighbor's scale along with its offset,
+    random search draws a fresh scale per guess.  Returns
+    (tx, ty, scale, cost)."""
+    h, w = pack1.shape[0], pack1.shape[1]
+    init_key, loop_key = jax.random.split(key)
+    tx, ty, scale = random_init_scaled(init_key, h, w)
+    cost = patch_cost_scaled(pack1, pack2, tx, ty, scale, cost_cfg, tap_chunk)
+
+    def select(state, txs, tys, scs, costs):
+        tx, ty, sc, cost = state
+        for k in range(txs.shape[0]):
+            better = costs[k] < cost
+            tx = jnp.where(better, txs[k], tx)
+            ty = jnp.where(better, tys[k], ty)
+            sc = jnp.where(better, scs[k], sc)
+            cost = jnp.where(better, costs[k], cost)
+        return tx, ty, sc, cost
+
+    def one_iter(i, state):
+        tx, ty, sc, cost = state
+        # jump-flood propagation carrying scale
+        for step in pm_cfg.prop_steps:
+            cand = []
+            for dy, dx in ((0, -step), (0, step), (-step, 0), (step, 0)):
+                ntx = jnp.clip(_shift2d(tx, dy, dx) - dx, 0, w - 1)
+                nty = jnp.clip(_shift2d(ty, dy, dx) - dy, 0, h - 1)
+                nsc = _shift2d(sc, dy, dx)
+                cand.append((ntx, nty, nsc))
+            txs = jnp.stack([c[0] for c in cand])
+            tys = jnp.stack([c[1] for c in cand])
+            scs = jnp.stack([c[2] for c in cand])
+            costs = jax.vmap(
+                lambda a, b, s: patch_cost_scaled(
+                    pack1, pack2, a, b, s, cost_cfg, tap_chunk
+                )
+            )(txs, tys, scs)
+            tx, ty, sc, cost = select((tx, ty, sc, cost), txs, tys, scs, costs)
+        # random search with fresh scales
+        iter_key = jax.random.fold_in(loop_key, i)
+        mags = pm_cfg.search_mags()
+        keys = jax.random.split(iter_key, 3 * len(mags))
+        cand = []
+        for k, mag in enumerate(mags):
+            xmin = jnp.maximum(tx - mag, 0)
+            xmax = jnp.minimum(tx + mag + 1, w + 1)
+            ymin = jnp.maximum(ty - mag, 0)
+            ymax = jnp.minimum(ty + mag + 1, h + 1)
+            gx = jax.random.randint(keys[3 * k], (h, w), xmin, xmax,
+                                    dtype=jnp.int32)
+            gy = jax.random.randint(keys[3 * k + 1], (h, w), ymin, ymax,
+                                    dtype=jnp.int32)
+            r = jax.random.randint(keys[3 * k + 2], (h, w), 0, 9,
+                                   dtype=jnp.int32)
+            gs = (10.0 + (r - 4).astype(jnp.float32)) / 10.0
+            cand.append((gx, gy, gs))
+        txs = jnp.stack([c[0] for c in cand])
+        tys = jnp.stack([c[1] for c in cand])
+        scs = jnp.stack([c[2] for c in cand])
+        costs = jax.vmap(
+            lambda a, b, s: patch_cost_scaled(
+                pack1, pack2, a, b, s, cost_cfg, tap_chunk
+            )
+        )(txs, tys, scs)
+        return select((tx, ty, sc, cost), txs, tys, scs, costs)
+
+    tx, ty, scale, cost = jax.lax.fori_loop(
+        0, pm_cfg.num_iters, one_iter, (tx, ty, scale, cost)
+    )
+    return tx, ty, scale, cost
+
+
+@partial(jax.jit, static_argnames=("pm_cfg", "cost_cfg", "tap_chunk"))
+def patchmatch_planefitting(
+    pack1: jnp.ndarray,
+    pack2: jnp.ndarray,
+    key: jax.Array,
+    pm_cfg: PatchMatchConfig = PatchMatchConfig(),
+    cost_cfg: CostConfig = CostConfig(),
+    tap_chunk: int = 25,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """PatchMatch over the plane-fitting cost (min over 4 affine-warp
+    hypotheses; baoCudaPatchMatch_PlaneFitting,
+    bao_pmflow_kernel.cu:1899-1963)."""
+    h, w = pack1.shape[0], pack1.shape[1]
+    init_key, loop_key = jax.random.split(key)
+    tx, ty = random_init(init_key, h, w)
+    pc = lambda a, b: patch_cost_planefitting(
+        pack1, pack2, a, b, cost_cfg, tap_chunk
+    )
+    cost = pc(tx, ty)
+
+    def one_iter(i, state):
+        tx, ty, cost = state
+        for step in pm_cfg.prop_steps:
+            cand_tx, cand_ty = [], []
+            for dy, dx in ((0, -step), (0, step), (-step, 0), (step, 0)):
+                cand_tx.append(jnp.clip(_shift2d(tx, dy, dx) - dx, 0, w - 1))
+                cand_ty.append(jnp.clip(_shift2d(ty, dy, dx) - dy, 0, h - 1))
+            txs, tys = jnp.stack(cand_tx), jnp.stack(cand_ty)
+            costs = jax.lax.map(lambda t: pc(t[0], t[1]), (txs, tys))
+            tx, ty, cost = _select_best((tx, ty, cost), txs, tys, costs)
+        iter_key = jax.random.fold_in(loop_key, i)
+        mags = pm_cfg.search_mags()
+        keys = jax.random.split(iter_key, 2 * len(mags))
+        cand_tx, cand_ty = [], []
+        for k, mag in enumerate(mags):
+            xmin = jnp.maximum(tx - mag, 0)
+            xmax = jnp.minimum(tx + mag + 1, w + 1)
+            ymin = jnp.maximum(ty - mag, 0)
+            ymax = jnp.minimum(ty + mag + 1, h + 1)
+            cand_tx.append(jax.random.randint(
+                keys[2 * k], (h, w), xmin, xmax, dtype=jnp.int32))
+            cand_ty.append(jax.random.randint(
+                keys[2 * k + 1], (h, w), ymin, ymax, dtype=jnp.int32))
+        txs, tys = jnp.stack(cand_tx), jnp.stack(cand_ty)
+        costs = jax.lax.map(lambda t: pc(t[0], t[1]), (txs, tys))
+        return _select_best((tx, ty, cost), txs, tys, costs)
 
     tx, ty, cost = jax.lax.fori_loop(
         0, pm_cfg.num_iters, one_iter, (tx, ty, cost)

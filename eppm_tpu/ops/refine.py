@@ -46,6 +46,8 @@ __all__ = [
     "flow_smoothing",
     "blf_refine_flow",
     "flow_cutoff",
+    "median_filter",
+    "guide_image_smoothing",
     "eliminate_still_region",
 ]
 
@@ -499,6 +501,82 @@ def blf_refine_flow(
     out_v = (best_ty - ys).astype(jnp.float32)
     out = jnp.stack([out_u, out_v], axis=-1)
     return jnp.where(unknown[..., None], 0.0, out)
+
+
+def median_filter(img, radius: int = 2):
+    """Channel-wise (2r+1)^2 median with edge-clamped taps
+    (d_median_filtering, refine_kernel.cu:921-974; the CUDA kernel bubble-
+    sorts in registers — here XLA sorts a (taps, H, W) stack)."""
+    h, w = img.shape[0], img.shape[1]
+    pad = ((radius, radius), (radius, radius)) + ((0, 0),) * (img.ndim - 2)
+    p = jnp.pad(img, pad, mode="edge")
+    taps = [
+        jax.lax.dynamic_slice(
+            p, (radius + dy, radius + dx) + (0,) * (img.ndim - 2),
+            (h, w) + img.shape[2:],
+        )
+        for dy in range(-radius, radius + 1)
+        for dx in range(-radius, radius + 1)
+    ]
+    stack = jnp.stack(taps)
+    return jnp.sort(stack, axis=0)[len(taps) // 2]
+
+
+def guide_image_smoothing(
+    img, cfg: RefineConfig = RefineConfig(), median_radius: int = 2,
+    chunk: int = 21,
+):
+    """Guide-image pre-smoothing (baoCudaImageSmoothing,
+    refine_kernel.cu:915-1054; not in the reference default path): 5x5
+    channel-wise median followed by a bilateral filter.
+
+    Fidelity note: the reference binds the *original* image as both the
+    weight guide and the averaged values, so its median output is
+    overwritten and discarded (.cu:1031-1050) — an apparent oversight.
+    We run the bilateral on the median result, which is the evidently
+    intended composition.
+    """
+    med = median_filter(img, median_radius)
+    h, w = img.shape[0], img.shape[1]
+    r = cfg.blf_radius
+    sig_r2 = cfg.blf_sigma_range**2
+    sig_s2 = cfg.blf_sigma_spatial**2
+    pimg = jnp.pad(med, ((r, r), (r, r), (0, 0)), mode="edge")
+    # border taps are skipped (continue), not clamped: weight by validity
+    valid = jnp.pad(jnp.ones((h, w), jnp.float32), r)
+
+    offs = [(dy, dx) for dy in range(-r, r + 1) for dx in range(-r, r + 1)]
+    gws = [
+        math.exp(-(dy * dy) / sig_s2) * math.exp(-(dx * dx) / sig_s2)
+        for dy, dx in offs
+    ]
+    n_pad = (-len(offs)) % chunk
+    offs += [(0, 0)] * n_pad
+    gws += [0.0] * n_pad
+    offs_a = np.asarray(offs, np.int32).reshape(-1, chunk, 2)
+    gws_a = np.asarray(gws, np.float32).reshape(-1, chunk)
+
+    def tap(off, gw):
+        dy, dx = off[0], off[1]
+        p = jax.lax.dynamic_slice(pimg, (r + dy, r + dx, 0), (h, w, 3))
+        v = jax.lax.dynamic_slice(valid, (r + dy, r + dx), (h, w))
+        d = jnp.abs(p - med)
+        dr = jnp.maximum(jnp.maximum(d[..., 0], d[..., 1]), d[..., 2])
+        wgt = jnp.exp(-(dr * dr) / sig_r2) * gw * v
+        return wgt[..., None] * p, wgt
+
+    def step(carry, data):
+        acc_p, acc_w = carry
+        off, gw = data
+        ps, ws = jax.vmap(tap)(off, gw)
+        return (acc_p + ps.sum(0), acc_w + ws.sum(0)), None
+
+    (psum, wsum), _ = jax.lax.scan(
+        step,
+        (jnp.zeros((h, w, 3), jnp.float32), jnp.zeros((h, w), jnp.float32)),
+        (jnp.asarray(offs_a), jnp.asarray(gws_a)),
+    )
+    return psum / jnp.maximum(wsum, 1e-30)[..., None]
 
 
 def flow_cutoff(flow, max_val: float):

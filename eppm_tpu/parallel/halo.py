@@ -2,11 +2,16 @@
 
 The reference is single-GPU (SURVEY.md section 2.7); spatial tiling across a
 device mesh is a new, TPU-native axis of parallelism.  Every stencil stage
-(flow smoothing, patch-cost frame-1 taps, tile upsampling) needs a ring of
-neighbor rows/cols around its tile; this module exchanges those rings over
-ICI with ``ppermute`` inside ``shard_map``.  At the mesh boundary the halo
-is filled by edge replication, reproducing the global clamp-to-edge
-addressing of the single-chip pipeline (CUDA texture clamp semantics).
+(flow smoothing, patch-cost taps, tile upsampling, warp+residual refine)
+needs a ring of neighbor rows/cols around its tile; this module exchanges
+those rings over ICI with ``ppermute`` inside ``shard_map``.  At the mesh
+boundary the halo is filled by edge replication, reproducing the global
+clamp-to-edge addressing of the single-chip pipeline (CUDA texture clamp
+semantics).
+
+Halos wider than the shard itself (small pyramid levels on large meshes)
+are supported: the exchange runs at neighbor distances 1..K and stitches
+the received tiles before slicing the requested ring.
 """
 
 from __future__ import annotations
@@ -17,17 +22,8 @@ import jax.numpy as jnp
 __all__ = ["halo_exchange_1d", "halo_exchange_2d"]
 
 
-def _take(x: jnp.ndarray, start: int, size: int, dim: int) -> jnp.ndarray:
-    idx = [slice(None)] * x.ndim
-    idx[dim] = slice(start, start + size) if start >= 0 else slice(start, None)
-    return x[tuple(idx)]
-
-
-def _edge_replicate(x: jnp.ndarray, size: int, dim: int, first: bool):
-    edge = _take(x, 0, 1, dim) if first else _take(x, -1, 1, dim)
-    reps = [1] * x.ndim
-    reps[dim] = size
-    return jnp.tile(edge, reps)
+def _take1(x: jnp.ndarray, start: int, size: int, dim: int) -> jnp.ndarray:
+    return jax.lax.slice_in_dim(x, start, start + size, axis=dim)
 
 
 def halo_exchange_1d(
@@ -37,37 +33,60 @@ def halo_exchange_1d(
     dim: int,
     boundary="edge",
 ) -> jnp.ndarray:
-    """Pad ``tile`` with ``halo`` rows/cols along ``dim``, filled from the
-    neighboring shards on mesh axis ``axis_name``.  Must run inside
-    shard_map.
+    """Pad ``tile`` with ``halo`` rows/cols along ``dim``, filled from
+    neighboring shards on mesh axis ``axis_name`` (multi-hop when
+    ``halo`` exceeds the shard extent).  Must run inside shard_map.
 
-    ``boundary`` controls the fill at the global image border: "edge"
-    replicates the border (CUDA texture clamp semantics, right for image
-    data) while a float fills a constant (pass UNKNOWN_FLOW for flow
-    fields, whose out-of-image taps the reference *skips* rather than
-    clamps, refine_kernel.cu:781-783).
+    ``boundary`` controls the fill at the global border: "edge"
+    replicates the global edge row/col (CUDA texture clamp semantics,
+    right for image data) while a float fills a constant (pass
+    UNKNOWN_FLOW for flow fields, whose out-of-image taps the reference
+    *skips* rather than clamps, refine_kernel.cu:781-783).
     """
     n = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
-    lo_edge = _take(tile, 0, halo, dim)        # my first rows -> prev's tail
-    hi_edge = _take(tile, -halo, halo, dim)    # my last rows  -> next's head
-    if n > 1:
-        fwd = [(i, i + 1) for i in range(n - 1)]   # i sends to i+1
-        bwd = [(i + 1, i) for i in range(n - 1)]   # i+1 sends to i
-        from_prev = jax.lax.ppermute(hi_edge, axis_name, fwd)
-        from_next = jax.lax.ppermute(lo_edge, axis_name, bwd)
-    else:
-        from_prev = hi_edge
-        from_next = lo_edge
+    size = tile.shape[dim]
+    K = -(-halo // size)  # hops needed
+
+    parts = []
+    for k in range(K, 0, -1):  # farthest prev first
+        perm = [(i, i + k) for i in range(n - k)]
+        parts.append(
+            jax.lax.ppermute(tile, axis_name, perm) if perm
+            else jnp.zeros_like(tile)
+        )
+    parts.append(tile)
+    for k in range(1, K + 1):
+        perm = [(i + k, i) for i in range(n - k)]
+        parts.append(
+            jax.lax.ppermute(tile, axis_name, perm) if perm
+            else jnp.zeros_like(tile)
+        )
+    ext = jnp.concatenate(parts, axis=dim)
+    ext = _take1(ext, K * size - halo, size + 2 * halo, dim)
+
+    # fill positions beyond the global array (zeros from missing links)
+    shape = [1] * tile.ndim
+    shape[dim] = size + 2 * halo
+    pos = jax.lax.broadcasted_iota(jnp.int32, tuple(shape), dim)
+    gidx = idx * size + pos - halo
+    below = gidx < 0
+    above = gidx >= n * size
     if boundary == "edge":
-        lo_fill = _edge_replicate(tile, halo, dim, first=True)
-        hi_fill = _edge_replicate(tile, halo, dim, first=False)
+        # Global edge rows sit at ext positions (0 - idx*size + halo) and
+        # ((n*size - 1) - idx*size + halo); when a shard has no
+        # out-of-range positions on a side, the (clamped) slice is unused.
+        lo_fill = jax.lax.dynamic_slice_in_dim(
+            ext, halo - idx * size, 1, axis=dim
+        )
+        hi_fill = jax.lax.dynamic_slice_in_dim(
+            ext, (n - idx) * size - 1 + halo, 1, axis=dim
+        )
+        ext = jnp.where(below, lo_fill, ext)
+        ext = jnp.where(above, hi_fill, ext)
     else:
-        lo_fill = jnp.full_like(lo_edge, boundary)
-        hi_fill = jnp.full_like(hi_edge, boundary)
-    top = jnp.where(idx == 0, lo_fill, from_prev)
-    bottom = jnp.where(idx == n - 1, hi_fill, from_next)
-    return jnp.concatenate([top, tile, bottom], axis=dim)
+        ext = jnp.where(below | above, jnp.asarray(boundary, ext.dtype), ext)
+    return ext
 
 
 def halo_exchange_2d(

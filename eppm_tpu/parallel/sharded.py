@@ -46,7 +46,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..config import DEFAULT_CONFIG, EPPMConfig, UNKNOWN_FLOW
-from ..ops.dense import dense_refine_flow, warp_pack
+from ..ops.dense import dense_refine_flow, median3_flow, warp_pack
 from ..ops.match import match_coarse
 from ..ops.patchmatch import patchmatch
 from ..ops.refine import (
@@ -196,11 +196,37 @@ def _pair_flow_tiled(img1, img2, key, cfg: EPPMConfig, ny: int, nx: int):
         flow_tile = (
             bilinear_resize(prev_h, th, tw, ratio_up, shift=1) * ratio_up
         )
-        pack1_tile = _slice_tile_haloed(packs1[lvl], y0, x0, th, tw, R)
-        flow_tile = blf_refine_flow(
-            flow_tile, pack1_tile, packs2[lvl], cfg.cost,
-            cfg.cost_tap_chunk, origin=(y0, x0), pack1_halo=R,
-        )
+        if cfg.refine_impl == "dense":
+            # Warp + residual search on a tile extended by halo G so the
+            # cropped interior is bitwise-equal to the single-chip result:
+            # taps on the warped frame reach <= cmax + tmax (~14) px and
+            # the warp reads the full replicated frame 2 at global
+            # (clamped) coordinates.  Each pass re-exchanges the flow halo
+            # (iterative warping needs fresh neighbor state).
+            G = 16
+
+            def refine_tile(ft, med: bool):
+                fh = halo_exchange_2d(ft, G + 1, boundary="edge")
+                if med:
+                    fh = median3_flow(fh)
+                fh = fh[1:-1, 1:-1]
+                p1h = _slice_tile_haloed(packs1[lvl], y0, x0, th, tw, G)
+                ext = dense_refine_flow(
+                    fh, p1h, packs2[lvl], cfg.cost,
+                    cfg.dense_search_radius, True, cfg.cost_tap_chunk,
+                    origin=(y0 - G, x0 - G),
+                )
+                return ext[G:-G, G:-G]
+
+            flow_tile = refine_tile(flow_tile, med=False)
+            for _ in range(cfg.dense_refine_passes - 1):
+                flow_tile = refine_tile(flow_tile, med=True)
+        else:
+            pack1_tile = _slice_tile_haloed(packs1[lvl], y0, x0, th, tw, R)
+            flow_tile = blf_refine_flow(
+                flow_tile, pack1_tile, packs2[lvl], cfg.cost,
+                cfg.cost_tap_chunk, origin=(y0, x0), pack1_halo=R,
+            )
         flow_tile = smooth_tile(flow_tile, lvl, y0, x0, th, tw)
 
     if top == 0:

@@ -163,6 +163,12 @@ def compute_flow(
             )
             flow = nnf_to_flow(ftx, fty)
 
+    if cfg.subpixel_refine:
+        from .ops.subpixel import subpixel_refine
+
+        flow = subpixel_refine(
+            flow, levels1[0], levels2[0], cfg.subpixel, cfg.cost_tap_chunk
+        )
     flow = flow_smoothing(flow, levels1[0], cfg.refine)
     return flow
 

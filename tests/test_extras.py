@@ -1,0 +1,223 @@
+"""Tests for the auxiliary components: native I/O, CLI, subpixel
+refinement, scaled/plane-fitting PatchMatch, warp-by-flow, color
+conversions, guide smoothing, median filter."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from eppm_tpu.config import CostConfig, PatchMatchConfig, SubpixelConfig
+from eppm_tpu.ops.color import rgb2luv, rgb2yuv, yuv2rgb
+from eppm_tpu.ops.refine import guide_image_smoothing, median_filter
+from eppm_tpu.ops.subpixel import (
+    bicubic_resize2x,
+    bicubic_shift,
+    bspline_weights,
+    subpixel_refine,
+)
+from eppm_tpu.ops.warp import warp_image_by_flow
+
+
+def _textured(rng, h, w):
+    small = rng.random((h // 4 + 2, w // 4 + 2, 3)).astype(np.float32)
+    img = np.asarray(
+        jax.image.resize(jnp.asarray(small), (h + 8, w + 8, 3), "cubic")
+    )[:h, :w]
+    return np.clip(img, 0, 1)
+
+
+# ---- native I/O ---------------------------------------------------------
+
+def test_native_io_roundtrip(tmp_path):
+    from eppm_tpu.io import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (33, 47, 3), np.uint8)
+    p = str(tmp_path / "x.ppm")
+    native.write_ppm_native(p, img)
+    back = native.read_ppm_native(p)
+    np.testing.assert_array_equal(back, img)
+    # python <-> native cross-compat
+    from eppm_tpu.io.ppm import read_ppm as read_py
+
+    np.testing.assert_array_equal(read_py(p), img)
+    flow = rng.normal(size=(15, 21, 2)).astype(np.float32)
+    fp = str(tmp_path / "x.flo")
+    native.write_flo_native(fp, flow)
+    np.testing.assert_array_equal(native.read_flo_native(fp), flow)
+
+
+def test_native_batch(tmp_path):
+    from eppm_tpu.io import native, read_ppm_batch, write_ppm
+
+    rng = np.random.default_rng(1)
+    paths = []
+    frames = []
+    for i in range(5):
+        img = rng.integers(0, 256, (16, 20, 3), np.uint8)
+        p = str(tmp_path / f"f{i}.ppm")
+        write_ppm(p, img)
+        paths.append(p)
+        frames.append(img)
+    out = read_ppm_batch(paths, nthreads=2)
+    np.testing.assert_array_equal(out, np.stack(frames))
+
+
+# ---- CLI ----------------------------------------------------------------
+
+def test_cli_overrides():
+    from eppm_tpu.cli import apply_overrides
+    from eppm_tpu.config import DEFAULT_CONFIG
+
+    cfg = apply_overrides(
+        DEFAULT_CONFIG,
+        ["refine.wmf_coarse_iters=7", "match_engine=patchmatch",
+         "pyramid.ratio=0.5"],
+    )
+    assert cfg.refine.wmf_coarse_iters == 7
+    assert cfg.match_engine == "patchmatch"
+    with pytest.raises(SystemExit):
+        apply_overrides(DEFAULT_CONFIG, ["no.such.field=1"])
+
+
+# ---- color conversions --------------------------------------------------
+
+def test_yuv_roundtrip():
+    rng = np.random.default_rng(2)
+    img = rng.integers(16, 240, (8, 9, 3)).astype(np.float32)
+    yuv = np.asarray(rgb2yuv(jnp.asarray(img)))
+    back = np.asarray(yuv2rgb(jnp.asarray(yuv)))
+    # the reference's coefficients are not an exact inverse pair; loose gate
+    assert np.abs(back - img).mean() < 4.0
+
+
+def test_luv_range():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (8, 9, 3)).astype(np.float32)
+    luv = np.asarray(rgb2luv(jnp.asarray(img)))
+    assert np.isfinite(luv).all()
+    assert (luv <= 255.0).all()
+
+
+# ---- warp by flow -------------------------------------------------------
+
+def test_warp_identity_and_shift():
+    rng = np.random.default_rng(4)
+    img = jnp.asarray(rng.random((12, 16, 3)).astype(np.float32))
+    zero = jnp.zeros((12, 16, 2))
+    np.testing.assert_allclose(
+        np.asarray(warp_image_by_flow(img, zero)), np.asarray(img), atol=1e-6
+    )
+    # integer shift: warped(p) = img(p + (2, 1))
+    fl = jnp.zeros((12, 16, 2)).at[..., 0].set(2.0).at[..., 1].set(1.0)
+    out = np.asarray(warp_image_by_flow(img, fl))
+    ref = np.asarray(img)
+    np.testing.assert_allclose(
+        out[:-1, :-2], ref[1:, 2:], atol=1e-6
+    )
+
+
+# ---- median / guide smoothing ------------------------------------------
+
+def test_median_filter_matches_numpy():
+    rng = np.random.default_rng(5)
+    img = rng.random((10, 12, 3)).astype(np.float32)
+    out = np.asarray(median_filter(jnp.asarray(img), 2))
+    pad = np.pad(img, ((2, 2), (2, 2), (0, 0)), mode="edge")
+    ref = np.empty_like(img)
+    for y in range(10):
+        for x in range(12):
+            win = pad[y : y + 5, x : x + 5].reshape(25, 3)
+            ref[y, x] = np.median(win, axis=0)
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_guide_smoothing_finite():
+    rng = np.random.default_rng(6)
+    img = jnp.asarray(_textured(rng, 24, 28))
+    out = np.asarray(guide_image_smoothing(img))
+    assert out.shape == (24, 28, 3)
+    assert np.isfinite(out).all()
+    # edge-preserving smoothing keeps values in range
+    assert out.min() >= -1e-4 and out.max() <= 1.0 + 1e-4
+
+
+# ---- bicubic sampling / subpixel ---------------------------------------
+
+def test_bspline_weights_partition_of_unity():
+    for a in (0.0, 0.25, 0.5, 0.9):
+        assert abs(sum(bspline_weights(a)) - 1.0) < 1e-12
+
+
+def test_bicubic_shift_constant():
+    img = jnp.full((9, 11), 0.7)
+    out = np.asarray(bicubic_shift(img, 0.5, -1.5))
+    np.testing.assert_allclose(out, 0.7, atol=1e-6)
+
+
+def test_bicubic_resize2x_shape():
+    rng = np.random.default_rng(7)
+    img = jnp.asarray(rng.random((6, 7, 3)).astype(np.float32))
+    out = bicubic_resize2x(img)
+    assert out.shape == (12, 14, 3)
+
+
+def test_subpixel_refine_improves_fractional_shift(rng):
+    """GT flow (1.5, 0): integer search stops at 1 or 2; the quadratic fit
+    should move toward the half-pixel optimum."""
+    h, w = 40, 48
+    img2 = _textured(rng, h, w)
+    # frame1 samples frame2 at x + 1.5 (build by bilinear)
+    x = np.arange(w)
+    fx = np.clip(x + 1.5, 0, w - 1)
+    x0 = np.floor(fx).astype(int)
+    x1 = np.minimum(x0 + 1, w - 1)
+    a = (fx - x0)[None, :, None]
+    img1 = (img2[:, x0] * (1 - a) + img2[:, x1] * a).astype(np.float32)
+    flow_int = np.zeros((h, w, 2), np.float32)
+    flow_int[..., 0] = 1.0  # trunc of 1.5
+    out = np.asarray(
+        subpixel_refine(
+            jnp.asarray(flow_int), jnp.asarray(img1), jnp.asarray(img2),
+            SubpixelConfig(),
+        )
+    )
+    b = 8
+    err_in = np.abs(flow_int[b:-b, b:-b, 0] - 1.5).mean()
+    err_out = np.abs(out[b:-b, b:-b, 0] - 1.5).mean()
+    assert err_out < err_in, f"{err_out:.3f} !< {err_in:.3f}"
+
+
+# ---- scaled / plane-fitting PatchMatch ---------------------------------
+
+def test_patchmatch_variants_run(rng):
+    from eppm_tpu.ops.cost import pack_frame
+    from eppm_tpu.ops.census import census_transform
+    from eppm_tpu.ops.patchmatch import (
+        patchmatch_planefitting,
+        patchmatch_scaled,
+    )
+
+    h, w = 24, 28
+    img2 = _textured(rng, h, w)
+    img1 = np.roll(img2, -2, axis=1)
+    p1 = pack_frame(jnp.asarray(img1), census_transform(jnp.asarray(img1)))
+    p2 = pack_frame(jnp.asarray(img2), census_transform(jnp.asarray(img2)))
+    pm = PatchMatchConfig(num_iters=2, prop_steps=(2, 1))
+    key = jax.random.PRNGKey(0)
+    tx, ty, sc, c = patchmatch_scaled(p1, p2, key, pm, CostConfig())
+    assert sc.shape == (h, w) and np.isfinite(np.asarray(c)).all()
+    assert float(np.asarray(sc).min()) >= 0.6 - 1e-6
+    assert float(np.asarray(sc).max()) <= 1.4 + 1e-6
+    xs = np.arange(w)[None, :]
+    med = np.median(np.asarray(tx)[:, 8:-8] - xs[:, 8:-8])
+    assert abs(med - 2.0) <= 1.5
+    tx2, ty2, c2 = patchmatch_planefitting(p1, p2, key, pm, CostConfig())
+    assert np.isfinite(np.asarray(c2)).all()
