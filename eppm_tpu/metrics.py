@@ -57,20 +57,27 @@ def flow_error(
 
 
 def bad_pixel_rate(
-    flow: np.ndarray, gt: np.ndarray, thresh: float = 3.0
-) -> float:
-    """Fraction of valid pixels with EPE > thresh (flow_tools.cpp:114-141)."""
+    flow: np.ndarray, gt: np.ndarray, thresh: float = 3.0,
+    return_error_map: bool = False,
+):
+    """Fraction of valid pixels with EPE > thresh (flow_tools.cpp:114-141).
+
+    With ``return_error_map=True`` also returns the per-pixel EPE map with
+    invalid-GT pixels zeroed (the reference's optional ``err_map`` output,
+    flow_tools.cpp:121-139).
+    """
     flow = np.asarray(flow, dtype=np.float64)
     gt = np.asarray(gt, dtype=np.float64)
     gu, gv = gt[..., 0], gt[..., 1]
     valid = (np.abs(gu) <= UNKNOWN_FLOW_THRESH) | (
         np.abs(gv) <= UNKNOWN_FLOW_THRESH
     )
-    n = int(valid.sum())
-    if n == 0:
-        return 0.0
     epe = np.sqrt(((flow - gt) ** 2).sum(-1))
-    return float((epe[valid] > thresh).mean())
+    n = int(valid.sum())
+    rate = 0.0 if n == 0 else float((epe[valid] > thresh).mean())
+    if return_error_map:
+        return rate, np.where(valid, epe, 0.0)
+    return rate
 
 
 def warp_error(

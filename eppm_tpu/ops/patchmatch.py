@@ -41,6 +41,7 @@ __all__ = [
     "random_init",
     "random_init_scaled",
     "propagate_round",
+    "line_propagate",
     "random_search",
     "patchmatch",
     "patchmatch_scaled",
@@ -194,6 +195,103 @@ def patchmatch(
         0, pm_cfg.num_iters, one_iter, (tx, ty, cost)
     )
     return tx, ty, cost
+
+
+def line_propagate(
+    pack1: jnp.ndarray,
+    pack2: jnp.ndarray,
+    tx: jnp.ndarray,
+    ty: jnp.ndarray,
+    cost: jnp.ndarray,
+    cost_cfg: CostConfig,
+    tap_chunk: int = 25,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Full sequential scanline propagation (d_row_propagate /
+    d_column_propagate and reverses, bao_pmflow_kernel.cu:862-974): four
+    sweeps — row-forward, column-forward, row-reverse, column-reverse —
+    each carrying the previous pixel's offset one step.
+
+    Faithful to the reference's (unused) full-scanline variant: the sweep
+    is a ``lax.scan`` whose steps evaluate one row/column at a time —
+    inherently latency-bound on TPU, provided for engine parity and as an
+    accuracy reference; the production propagation is the jump-flood
+    schedule (propagate_round) / dense rounds (ops.match.propagate_dense).
+    """
+    h, w = tx.shape
+    R = cost_cfg.patch_radius
+    pad1 = jnp.pad(pack1, ((R, R), (R, R), (0, 0)), mode="edge")
+
+    def col_cost(x, cand_tx, cand_ty):
+        """Candidate cost for one image column x (cand_* shape (h,))."""
+        tile = jax.lax.dynamic_slice(
+            pad1, (0, x, 0), (h + 2 * R, 1 + 2 * R, 4)
+        )
+        return patch_cost(
+            tile, pack2, cand_tx[:, None], cand_ty[:, None], cost_cfg,
+            tap_chunk, pack1_halo=R,
+        )[:, 0]
+
+    def row_cost(y, cand_tx, cand_ty):
+        tile = jax.lax.dynamic_slice(
+            pad1, (y, 0, 0), (1 + 2 * R, w + 2 * R, 4)
+        )
+        return patch_cost(
+            tile, pack2, cand_tx[None, :], cand_ty[None, :], cost_cfg,
+            tap_chunk, pack1_halo=R,
+        )[0]
+
+    def sweep(state, axis: int, reverse: bool):
+        """Sequential sweep along ``axis`` carrying the previous line's
+        (updated) offsets, shifted one pixel like the CUDA kernels
+        (prev_disp.x + 1, :884)."""
+        tx, ty, cost = state
+        step = -1 if reverse else 1
+        n = w if axis == 1 else h
+        idxs = jnp.arange(n) if not reverse else jnp.arange(n)[::-1]
+
+        def body(carry, i):
+            prev_tx, prev_ty = carry
+            # gather the current line
+            if axis == 1:
+                cur_tx = jax.lax.dynamic_slice(tx, (0, i), (h, 1))[:, 0]
+                cur_ty = jax.lax.dynamic_slice(ty, (0, i), (h, 1))[:, 0]
+                cur_cost = jax.lax.dynamic_slice(cost, (0, i), (h, 1))[:, 0]
+                cand_tx = jnp.clip(prev_tx + step, 0, w - 1)
+                cand_ty = prev_ty
+                c = col_cost(i, cand_tx, cand_ty)
+            else:
+                cur_tx = jax.lax.dynamic_slice(tx, (i, 0), (1, w))[0]
+                cur_ty = jax.lax.dynamic_slice(ty, (i, 0), (1, w))[0]
+                cur_cost = jax.lax.dynamic_slice(cost, (i, 0), (1, w))[0]
+                cand_tx = prev_tx
+                cand_ty = jnp.clip(prev_ty + step, 0, h - 1)
+                c = row_cost(i, cand_tx, cand_ty)
+            # the first line of a sweep has no predecessor (the CUDA
+            # kernels start at index 1, :880)
+            better = (c < cur_cost) & (i != idxs[0])
+            new_tx = jnp.where(better, cand_tx, cur_tx)
+            new_ty = jnp.where(better, cand_ty, cur_ty)
+            new_cost = jnp.where(better, c, cur_cost)
+            return (new_tx, new_ty), (new_tx, new_ty, new_cost, i)
+
+        if axis == 1:
+            init = (tx[:, idxs[0]], ty[:, idxs[0]])
+        else:
+            init = (tx[idxs[0]], ty[idxs[0]])
+        _, (otx, oty, ocost, oi) = jax.lax.scan(body, init, idxs)
+        # scatter the swept lines back in original order
+        order = jnp.argsort(oi)
+        otx, oty, ocost = otx[order], oty[order], ocost[order]
+        if axis == 1:
+            return otx.T, oty.T, ocost.T
+        return otx, oty, ocost
+
+    state = (tx, ty, cost)
+    state = sweep(state, axis=1, reverse=False)   # row forward
+    state = sweep(state, axis=0, reverse=False)   # column forward
+    state = sweep(state, axis=1, reverse=True)    # row reverse
+    state = sweep(state, axis=0, reverse=True)    # column reverse
+    return state
 
 
 def random_init_scaled(

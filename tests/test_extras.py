@@ -221,3 +221,50 @@ def test_patchmatch_variants_run(rng):
     assert abs(med - 2.0) <= 1.5
     tx2, ty2, c2 = patchmatch_planefitting(p1, p2, key, pm, CostConfig())
     assert np.isfinite(np.asarray(c2)).all()
+
+
+def test_line_propagate_reduces_cost(rng):
+    from eppm_tpu.ops.cost import pack_frame, patch_cost
+    from eppm_tpu.ops.census import census_transform
+    from eppm_tpu.ops.patchmatch import line_propagate, random_init
+
+    h, w = 20, 24
+    img2 = _textured(rng, h, w)
+    img1 = np.roll(img2, -2, axis=1).astype(np.float32)
+    p1 = pack_frame(jnp.asarray(img1), census_transform(jnp.asarray(img1)))
+    p2 = pack_frame(jnp.asarray(img2), census_transform(jnp.asarray(img2)))
+    cc = CostConfig(patch_radius=3)
+    tx, ty = random_init(jax.random.PRNGKey(0), h, w)
+    cost0 = patch_cost(p1, p2, tx, ty, cc)
+    tx2, ty2, cost2 = line_propagate(p1, p2, tx, ty, cost0, cc)
+    assert float(np.asarray(cost2).mean()) < float(np.asarray(cost0).mean())
+    # stored costs must match a recomputation at the accepted targets
+    c_re = patch_cost(p1, p2, tx2, ty2, cc)
+    np.testing.assert_allclose(
+        np.asarray(cost2), np.asarray(c_re), atol=1e-5
+    )
+
+
+def test_timing_utils():
+    from eppm_tpu.utils import DeviceTimer, Timer, time_stage
+
+    t = Timer().start()
+    assert t.stop() >= 0.0
+    x = jnp.ones((8, 8))
+    dt = DeviceTimer().start()
+    assert dt.stop(x * 2.0) >= 0.0
+    sec = time_stage(lambda a: a * 3.0, x, n=1, verbose=False)
+    assert sec > 0.0
+
+
+def test_bad_pixel_error_map():
+    from eppm_tpu.metrics import bad_pixel_rate
+
+    gt = np.zeros((4, 5, 2), np.float32)
+    gt[..., 0] = 1.0
+    flow = np.zeros((4, 5, 2), np.float32)
+    flow[0, 0, 0] = 10.0
+    rate, emap = bad_pixel_rate(flow, gt, thresh=3.0, return_error_map=True)
+    assert emap.shape == (4, 5)
+    assert emap[0, 0] == 9.0
+    assert 0.0 < rate < 1.0
