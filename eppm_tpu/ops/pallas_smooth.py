@@ -1,0 +1,193 @@
+"""Pallas TPU kernel for joint-bilateral flow smoothing.
+
+Spec: ``d_flow_bilateral_filtering`` (bao_pmflow_refine_kernel.cu:749-826)
+— flow smoothed under image-guided bilateral weights over a radius-10
+window (441 taps), skipping unknown-flow taps; pixels whose window holds
+no known flow keep their value.  ops/refine.py::flow_smoothing is the XLA
+oracle; the XLA form costs ~19 ms per call at 640x480 against a ~2 ms
+VPU roofline because each of 441 taps is a separate HBM-bound fused op.
+
+Kernel shape follows ops/pallas_cost.py (see its docstring for the
+Mosaic constraints that dictate it): channel-first planes, aligned
+halos, ``fori_loop`` over a scalar-prefetched tap table, non-negative
+dynamic rolls, VMEM accumulators.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import UNKNOWN_FLOW, UNKNOWN_FLOW_THRESH, RefineConfig
+
+__all__ = ["flow_smoothing_pallas", "flow_smoothing_auto"]
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _smooth_kernel(
+    offs_ref, gws_ref,
+    state_ref,            # (6, Hp, Wp): u, v, known, r, g, b  (HBM)
+    out_ref,              # (2, TH, TW) block
+    win_ref, acc_ref, sem,
+    *,
+    n_taps: int,
+    HY: int, HX: int, TH: int, TW: int,
+    inv_sig_r2: float,
+):
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    WH = TH + 2 * HY
+    WW = TW + 2 * HX
+
+    cp = pltpu.make_async_copy(
+        state_ref.at[:, pl.ds(ti * TH, WH), pl.ds(tj * TW, WW)],
+        win_ref, sem,
+    )
+    cp.start()
+    cp.wait()
+
+    winv = win_ref[:]
+    c_r = winv[3, HY : HY + TH, HX : HX + TW]
+    c_g = winv[4, HY : HY + TH, HX : HX + TW]
+    c_b = winv[5, HY : HY + TH, HX : HX + TW]
+
+    # acc: u_sum, v_sum, w_sum
+    acc_ref[:] = jnp.zeros((3, TH, TW), jnp.float32)
+
+    def tap_body(t, _):
+        dy = offs_ref[t, 0]
+        dx = offs_ref[t, 1]
+        gw = gws_ref[t, 0]
+        r = pltpu.roll(
+            pltpu.roll(winv, (WH - dy) % WH, 1), (WW - dx) % WW, 2
+        )
+        u = r[0, HY : HY + TH, HX : HX + TW]
+        v = r[1, HY : HY + TH, HX : HX + TW]
+        known = r[2, HY : HY + TH, HX : HX + TW]
+        pr = r[3, HY : HY + TH, HX : HX + TW]
+        pg = r[4, HY : HY + TH, HX : HX + TW]
+        pb = r[5, HY : HY + TH, HX : HX + TW]
+        dr = jnp.maximum(
+            jnp.maximum(jnp.abs(pr - c_r), jnp.abs(pg - c_g)),
+            jnp.abs(pb - c_b),
+        )
+        w = jnp.exp(-(dr * dr) * inv_sig_r2) * gw * known
+        acc_ref[0] = acc_ref[0] + w * u
+        acc_ref[1] = acc_ref[1] + w * v
+        acc_ref[2] = acc_ref[2] + w
+        return 0
+
+    jax.lax.fori_loop(0, n_taps, tap_body, 0)
+
+    wsum = acc_ref[2]
+    has = wsum > 0
+    u0 = winv[0, HY : HY + TH, HX : HX + TW]
+    v0 = winv[1, HY : HY + TH, HX : HX + TW]
+    inv = 1.0 / jnp.maximum(wsum, 1e-30)
+    out_ref[0] = jnp.where(has, acc_ref[0] * inv, u0)
+    out_ref[1] = jnp.where(has, acc_ref[1] * inv, v0)
+
+
+def flow_smoothing_pallas(
+    flow: jnp.ndarray,
+    img: jnp.ndarray,
+    cfg: RefineConfig = RefineConfig(),
+    tile: Tuple[int, int] = (128, 256),
+) -> jnp.ndarray:
+    """Drop-in for ops.refine.flow_smoothing on TPU."""
+    h, w = flow.shape[:2]
+    r = cfg.blf_radius
+    sig_s2 = cfg.blf_sigma_spatial**2
+
+    offs = [(dy, dx) for dy in range(-r, r + 1) for dx in range(-r, r + 1)]
+    gws = np.asarray(
+        [
+            [math.exp(-(dy * dy) / sig_s2) * math.exp(-(dx * dx) / sig_s2)]
+            for dy, dx in offs
+        ],
+        np.float32,
+    )
+    offs_arr = np.asarray(offs, np.int32)
+
+    TH, TW = tile
+    TH = min(TH, _round_up(h, 8))
+    TW = min(TW, _round_up(w, 128))
+    HY = _round_up(r, 8)
+    HX = _round_up(r, 128)
+    ph = (-h) % TH
+    pw = (-w) % TW
+    hp, wp = h + ph, w + pw
+
+    u = flow[..., 0]
+    v = flow[..., 1]
+    known = (
+        (u <= UNKNOWN_FLOW_THRESH) & (v <= UNKNOWN_FLOW_THRESH)
+    ).astype(jnp.float32)
+    # the sentinel rides along: unknown taps get weight exactly 0, so
+    # w*u == 0 (the sentinel is finite), and the empty-window fallback
+    # returns the original (possibly sentinel) value like the oracle
+    state = jnp.stack(
+        [u, v, known, img[..., 0], img[..., 1], img[..., 2]]
+    )
+    # halo: flow/known pad with 0 known (reference skips out-of-image
+    # taps); image pads edge (only used via dr at in-image taps, but edge
+    # keeps dr finite)
+    statep = jnp.pad(state, ((0, 0), (HY, HY + ph), (HX, HX + pw)))
+    img_edge = jnp.pad(
+        jnp.stack([img[..., 0], img[..., 1], img[..., 2]]),
+        ((0, 0), (HY, HY + ph), (HX, HX + pw)),
+        mode="edge",
+    )
+    statep = statep.at[3:6].set(img_edge)
+
+    kern = functools.partial(
+        _smooth_kernel,
+        n_taps=len(offs),
+        HY=HY, HX=HX, TH=TH, TW=TW,
+        inv_sig_r2=1.0 / (cfg.blf_sigma_range**2),
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(hp // TH, wp // TW),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec((2, TH, TW), lambda i, j, *_: (0, i, j)),
+        scratch_shapes=[
+            pltpu.VMEM((6, TH + 2 * HY, TW + 2 * HX), jnp.float32),
+            pltpu.VMEM((3, TH, TW), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((2, hp, wp), jnp.float32),
+    )(jnp.asarray(offs_arr), jnp.asarray(gws), statep)
+    return jnp.stack([out[0, :h, :w], out[1, :h, :w]], axis=-1)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform not in ("cpu", "gpu")
+    except Exception:
+        return False
+
+
+def flow_smoothing_auto(
+    flow, img, cfg: RefineConfig = RefineConfig(), chunk: int = 21
+):
+    """Dispatch: Pallas kernel on TPU, XLA oracle elsewhere."""
+    if _on_tpu():
+        return flow_smoothing_pallas(flow, img, cfg)
+    from .refine import flow_smoothing
+
+    return flow_smoothing(flow, img, cfg, chunk)

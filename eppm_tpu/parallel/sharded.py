@@ -58,6 +58,7 @@ from ..ops.refine import (
     outlier_removal,
     weighted_median_filter,
 )
+from ..ops.pallas_smooth import flow_smoothing_auto
 from ..ops.pallas_wmf import weighted_median_filter_auto
 from ..ops.resize import bilinear_resize
 from ..pipeline import prepare_pyramids
@@ -173,7 +174,7 @@ def _pair_flow_tiled(img1, img2, key, cfg: EPPMConfig, ny: int, nx: int):
     def smooth_tile(flow_tile, lvl, y0, x0, th, tw):
         flow_h = halo_exchange_2d(flow_tile, rb, boundary=UNKNOWN_FLOW)
         img_h = _slice_tile_haloed(levels1[lvl], y0, x0, th, tw, rb)
-        sm = flow_smoothing(flow_h, img_h, cfg.refine)
+        sm = flow_smoothing_auto(flow_h, img_h, cfg.refine)
         return sm[rb:-rb, rb:-rb]
 
     for lvl in range(top - 1, -1, -1):

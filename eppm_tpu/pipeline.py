@@ -54,6 +54,7 @@ from .ops.refine import (
     outlier_removal,
     weighted_median_filter,
 )
+from .ops.pallas_smooth import flow_smoothing_auto
 from .ops.pallas_wmf import weighted_median_filter_auto
 from .ops.resize import bilinear_resize, gaussian_filter, gaussian_pyramid
 
@@ -154,7 +155,7 @@ def compute_flow(
             flow = blf_refine_flow(
                 flow, packs1[lvl], packs2[lvl], cfg.cost, cfg.cost_tap_chunk
             )
-        flow = flow_smoothing(flow, levels1[lvl], cfg.refine)
+        flow = flow_smoothing_auto(flow, levels1[lvl], cfg.refine)
         if fine_level_wmf:
             ftx, fty = flow_to_nnf(flow)
             ftx, fty = weighted_median_filter(
@@ -169,7 +170,7 @@ def compute_flow(
         flow = subpixel_refine(
             flow, levels1[0], levels2[0], cfg.subpixel, cfg.cost_tap_chunk
         )
-    flow = flow_smoothing(flow, levels1[0], cfg.refine)
+    flow = flow_smoothing_auto(flow, levels1[0], cfg.refine)
     return flow
 
 
