@@ -140,6 +140,10 @@ class MatchConfig:
     desc_census_scale: float = 0.1
     # Frame-2 pixels scored per MXU block in the global argmax.
     global_block: int = 2048
+    # Above this many coarse pixels the global proposal grid subsamples
+    # by 2 on both frames (N^2 argmax cost; the 1-px proposal loss is
+    # recovered by the final polish sweep).
+    global_stride_threshold: int = 40000
     # Also run the global matcher at full coarse resolution and merge by
     # true-cost argmin (large-displacement recall).
     global_at_coarse: bool = True

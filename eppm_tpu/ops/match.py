@@ -73,9 +73,13 @@ def _shift2d(a: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
 
 
 def patch_descriptors(
-    pack: jnp.ndarray, cfg: MatchConfig
+    pack: jnp.ndarray, cfg: MatchConfig, stride: int = 1
 ) -> jnp.ndarray:
     """Per-pixel patch descriptor for MXU matching, (H, W, D) bfloat16.
+
+    ``stride`` subsamples the output grid.  The subsampling happens in
+    float32 *before* the bfloat16 cast: a strided slice of a bf16 array
+    crashes this TPU runtime (worker kernel fault, observed on v5e).
 
     Taps on a stride-``desc_tap_stride`` grid of radius ``desc_radius``;
     per tap: 3 RGB channels + 8 census sign bits scaled by
@@ -99,7 +103,10 @@ def patch_descriptors(
             gw = math.exp(-(dy * dy + dx * dx) / sig2)
             feats.append(_shift2d(rgb, dy, dx) * gw)
             feats.append(_shift2d(bits, dy, dx) * gw)
-    return jnp.concatenate(feats, axis=-1).astype(jnp.bfloat16)
+    out = jnp.concatenate(feats, axis=-1)
+    if stride > 1:
+        out = out[::stride, ::stride]
+    return out.astype(jnp.bfloat16)
 
 
 def global_match(
@@ -398,14 +405,27 @@ def match_coarse(
         gy, gx, _, _ = _flow_to_targets(flow, h, w)
         cost = rescore(pack1, pack2, gy, gx, cost_cfg, tap_chunk)
 
-    # --- global proposals at full coarse resolution (large-displacement
+    # --- global proposals at coarse resolution (large-displacement
     # recall, the role of PatchMatch's global random init) ---
     if match_cfg.global_at_coarse:
-        dc1 = patch_descriptors(pack1, match_cfg)
-        dc2 = patch_descriptors(pack2, match_cfg)
+        # The argmax cost scales with N1*N2; above the threshold the
+        # proposal grid subsamples by 2 on both frames (a proposal within
+        # 1 px of the optimum is recovered by the final polish sweep,
+        # radius >= 2).
+        s = 2 if (h * w > match_cfg.global_stride_threshold) else 1
+        dc1 = patch_descriptors(pack1, match_cfg, stride=s)
+        dc2 = patch_descriptors(pack2, match_cfg, stride=s)
         p_y, p_x = global_match(dc1, dc2, match_cfg.global_block)
-        ysc, xsc = _grid(h, w)
-        pgy, pgx = p_y - ysc, p_x - xsc
+        if s > 1:
+            ys_s, xs_s = _grid(dc1.shape[0], dc1.shape[1])
+            fy = (p_y - ys_s) * s
+            fx = (p_x - xs_s) * s
+            # nearest-upsample the proposal flow back to full resolution
+            pgy = jnp.repeat(jnp.repeat(fy, s, 0), s, 1)[:h, :w]
+            pgx = jnp.repeat(jnp.repeat(fx, s, 0), s, 1)[:h, :w]
+        else:
+            ysc, xsc = _grid(h, w)
+            pgy, pgx = p_y - ysc, p_x - xsc
         prop_cost = rescore(pack1, pack2, pgy, pgx, cost_cfg, tap_chunk)
         better = prop_cost < cost
         flow = jnp.where(

@@ -262,6 +262,243 @@ def weighted_median_filter_pallas(
     return new_tx, new_ty
 
 
+def _wmf_tile_kernel(
+    offs_ref, gws_ref,
+    state_in,             # (6, HP, WP): ox, oy, valid, r, g, b (HBM)
+    ox_out, oy_out, valid_out,
+    win_ref,              # (6, WH, WW) windowed state
+    c_ref, s_ref, w_ref, acc_ref, best_ref, sem,
+    *,
+    n_offs: int, SB: int, only_occlusion: bool,
+    HY: int, HX: int, TH: int, TW: int,
+    inv_sig_r2: float,
+):
+    """One WMF Jacobi iteration over a (TH, TW) tile with halo — the
+    large-image form (whole-image state stays in HBM between iterations;
+    the iteration loop lives in XLA).  Bilateral image weights are
+    computed in-kernel from the windowed image planes (one pass per tile,
+    stored in ``w_ref``)."""
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    WH = TH + 2 * HY
+    WW = TW + 2 * HX
+    cp = pltpu.make_async_copy(
+        state_in.at[:, pl.ds(ti * TH, WH), pl.ds(tj * TW, WW)],
+        win_ref, sem,
+    )
+    cp.start()
+    cp.wait()
+
+    ox = win_ref[0]
+    oy = win_ref[1]
+    val = win_ref[2]
+    n_blocks = n_offs // SB
+
+    def roll2(x, dy, dx):
+        return pltpu.roll(pltpu.roll(x, (WH - dy) % WH, 0), (WW - dx) % WW, 1)
+
+    def crop(x):
+        return x[HY : HY + TH, HX : HX + TW]
+
+    # bilateral image weights for all supports, once per tile
+    c_r, c_g, c_b = crop(win_ref[3]), crop(win_ref[4]), crop(win_ref[5])
+
+    def wgt_body(s, _):
+        dy = offs_ref[s, 0]
+        dx = offs_ref[s, 1]
+        pr = crop(roll2(win_ref[3], dy, dx))
+        pg = crop(roll2(win_ref[4], dy, dx))
+        pb = crop(roll2(win_ref[5], dy, dx))
+        dr = jnp.maximum(
+            jnp.maximum(jnp.abs(pr - c_r), jnp.abs(pg - c_g)),
+            jnp.abs(pb - c_b),
+        )
+        w_ref[s] = jnp.exp(-(dr * dr) * inv_sig_r2) * gws_ref[s, 0]
+        return 0
+
+    jax.lax.fori_loop(0, n_offs, wgt_body, 0)
+
+    best_ref[0] = jnp.full((TH, TW), FLT_MAX, jnp.float32)
+    best_ref[1] = crop(ox)
+    best_ref[2] = crop(oy)
+
+    def c_block(cb, _):
+        def load_c(i, _):
+            dy = offs_ref[cb * SB + i, 0]
+            dx = offs_ref[cb * SB + i, 1]
+            c_ref[3 * i] = crop(roll2(ox, dy, dx))
+            c_ref[3 * i + 1] = crop(roll2(oy, dy, dx))
+            c_ref[3 * i + 2] = crop(roll2(val, dy, dx))
+            return 0
+
+        jax.lax.fori_loop(0, SB, load_c, 0)
+        acc_ref[:] = jnp.zeros((2 * SB, TH, TW), jnp.float32)
+
+        def s_block(sb, _):
+            def load_s(i, _):
+                dy = offs_ref[sb * SB + i, 0]
+                dx = offs_ref[sb * SB + i, 1]
+                s_ref[3 * i] = crop(roll2(ox, dy, dx))
+                s_ref[3 * i + 1] = crop(roll2(oy, dy, dx))
+                s_ref[3 * i + 2] = crop(roll2(val, dy, dx))
+                return 0
+
+            jax.lax.fori_loop(0, SB, load_s, 0)
+            for si in range(SB):
+                sox = s_ref[3 * si]
+                soy = s_ref[3 * si + 1]
+                w = (
+                    w_ref[pl.ds(sb * SB + si, 1)][0]
+                    * s_ref[3 * si + 2]
+                )
+                for ci in range(SB):
+                    dev = jnp.maximum(
+                        jnp.abs(c_ref[3 * ci] - sox),
+                        jnp.abs(c_ref[3 * ci + 1] - soy),
+                    )
+                    acc_ref[2 * ci] = acc_ref[2 * ci] + w * dev
+                    acc_ref[2 * ci + 1] = acc_ref[2 * ci + 1] + w
+            return 0
+
+        jax.lax.fori_loop(0, n_blocks, s_block, 0)
+
+        for ci in range(SB):
+            cost = jnp.where(c_ref[3 * ci + 2] > 0, acc_ref[2 * ci], FLT_MAX)
+            better = (acc_ref[2 * ci + 1] > 0) & (cost < best_ref[0])
+            best_ref[0] = jnp.where(better, cost, best_ref[0])
+            best_ref[1] = jnp.where(better, c_ref[3 * ci], best_ref[1])
+            best_ref[2] = jnp.where(better, c_ref[3 * ci + 1], best_ref[2])
+        return 0
+
+    jax.lax.fori_loop(0, n_blocks, c_block, 0)
+
+    found = best_ref[0] < FLT_MAX
+    cval = crop(val)
+    if only_occlusion:
+        replace = found & (cval == 0)
+    else:
+        replace = found
+    new_ox = jnp.where(replace, best_ref[1], crop(ox))
+    new_oy = jnp.where(replace, best_ref[2], crop(oy))
+    ys_f = (
+        jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0) + ti * TH
+    ).astype(jnp.float32)
+    xs_f = (
+        jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1) + tj * TW
+    ).astype(jnp.float32)
+    new_valid = (
+        (best_ref[1] + xs_f >= 0) & (best_ref[2] + ys_f >= 0)
+    ).astype(jnp.float32)
+    ox_out[:] = new_ox
+    oy_out[:] = new_oy
+    valid_out[:] = jnp.where(replace, new_valid, cval)
+
+
+def _wmf_tiled(
+    tx, ty, img, cfg: RefineConfig, num_iter: int, only_occlusion: bool,
+    tile: Tuple[int, int] = (128, 128),
+):
+    """Large-image WMF: per-iteration tiled kernel, state in HBM.
+
+    The (128, 128) tile keeps the ~162 scratch planes (81 support
+    weights + candidate/support/accumulator blocks) under the 16 MB
+    scoped-VMEM limit; larger tiles crash the Mosaic compile helper.
+    """
+    import functools as _ft
+
+    from ..config import INVALID_LOCATION
+
+    h, w = tx.shape
+    r = cfg.wmf_radius
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    valid = ((tx >= 0) & (ty >= 0)).astype(jnp.float32)
+    ox = jnp.where(valid > 0, (tx - xs).astype(jnp.float32), 0.0)
+    oy = jnp.where(valid > 0, (ty - ys).astype(jnp.float32), 0.0)
+
+    TH, TW = tile
+    TH = min(TH, _round_up(h, 8))
+    TW = min(TW, _round_up(w, 128))
+    HY = _round_up(r, 8)
+    HX = _round_up(r, 128)
+    ph = (-h) % TH
+    pw = (-w) % TW
+    hp, wp = h + ph, w + pw
+
+    import math as _math
+
+    offs = [(dy, dx) for dy in range(-r, r + 1) for dx in range(-r, r + 1)]
+    sig_s2 = cfg.wmf_sigma_spatial**2
+    gws = np.asarray(
+        [
+            [_math.exp(-(dy * dy) / sig_s2) * _math.exp(-(dx * dx) / sig_s2)]
+            for dy, dx in offs
+        ],
+        np.float32,
+    )
+
+    SB = 9
+    offs_arr = jnp.asarray(offs, jnp.int32)
+    kern = _ft.partial(
+        _wmf_tile_kernel,
+        n_offs=len(offs), SB=SB, only_occlusion=only_occlusion,
+        HY=HY, HX=HX, TH=TH, TW=TW,
+        inv_sig_r2=1.0 / (cfg.wmf_sigma_range**2),
+    )
+    WH, WW = TH + 2 * HY, TW + 2 * HX
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(hp // TH, wp // TW),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=[
+            pl.BlockSpec((TH, TW), lambda i, j, *_: (i, j))
+        ] * 3,
+        scratch_shapes=[
+            pltpu.VMEM((6, WH, WW), jnp.float32),
+            pltpu.VMEM((3 * SB, TH, TW), jnp.float32),
+            pltpu.VMEM((3 * SB, TH, TW), jnp.float32),
+            pltpu.VMEM((len(offs), TH, TW), jnp.float32),
+            pltpu.VMEM((2 * SB, TH, TW), jnp.float32),
+            pltpu.VMEM((3, TH, TW), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    call = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((hp, wp), jnp.float32)] * 3,
+    )
+
+    # image channels (iteration-invariant): edge-padded for the halo
+    imgp = jnp.pad(
+        jnp.stack([img[..., 0], img[..., 1], img[..., 2]]),
+        ((0, 0), (HY, HY + ph), (HX, HX + pw)),
+        mode="edge",
+    )
+
+    def one_iter(_, state):
+        oxp, oyp, vp = state
+        # halo pad: out-of-image supports invalid (valid=0 padding)
+        flowh = jnp.stack([
+            jnp.pad(oxp, ((HY, HY), (HX, HX))),
+            jnp.pad(oyp, ((HY, HY), (HX, HX))),
+            jnp.pad(vp, ((HY, HY), (HX, HX))),
+        ])
+        state6 = jnp.concatenate([flowh, imgp], axis=0)
+        return tuple(call(offs_arr, jnp.asarray(gws), state6))
+
+    state = (
+        jnp.pad(ox, ((0, ph), (0, pw))),
+        jnp.pad(oy, ((0, ph), (0, pw))),
+        jnp.pad(valid, ((0, ph), (0, pw))),
+    )
+    ox2, oy2, v2 = jax.lax.fori_loop(0, num_iter, one_iter, state)
+    ox2, oy2, v2 = ox2[:h, :w], oy2[:h, :w], v2[:h, :w] > 0
+    new_tx = jnp.where(v2, ox2.astype(jnp.int32) + xs, tx)
+    new_ty = jnp.where(v2, oy2.astype(jnp.int32) + ys, ty)
+    return new_tx, new_ty
+
+
 def _on_tpu() -> bool:
     try:
         return jax.devices()[0].platform not in ("cpu", "gpu")
@@ -274,17 +511,20 @@ def weighted_median_filter_auto(
     num_iter: int = 1, only_occlusion: bool = False,
     support_chunk: int = 27,
 ):
-    """Dispatch: Pallas kernel on TPU (when the image fits VMEM), XLA
-    oracle elsewhere."""
+    """Dispatch: in-VMEM Pallas kernel when the whole level fits (all
+    iterations in one launch), tiled per-iteration Pallas kernel for
+    larger levels, XLA oracle off-TPU."""
     h, w = tx.shape
-    # VMEM need ~ (3 + 9*SB(=81->~99 planes)) * HP * WP * 4
-    HP = _round_up(h, 8) + 8
-    WP = _round_up(w + 2 * cfg.wmf_radius, 128)
-    est = 100 * HP * WP * 4
-    if _on_tpu() and est < 14 * 2**20 and (2 * cfg.wmf_radius + 1) ** 2 == 81:
-        return weighted_median_filter_pallas(
-            tx, ty, img, cfg, num_iter, only_occlusion
-        )
+    square = (2 * cfg.wmf_radius + 1) ** 2 == 81
+    if _on_tpu() and square:
+        # VMEM need of the in-VMEM variant ~ (3 + 9*SB + ...) ~100 planes
+        HP = _round_up(h, 8) + 8
+        WP = _round_up(w + 2 * cfg.wmf_radius, 128)
+        if 100 * HP * WP * 4 < 14 * 2**20:
+            return weighted_median_filter_pallas(
+                tx, ty, img, cfg, num_iter, only_occlusion
+            )
+        return _wmf_tiled(tx, ty, img, cfg, num_iter, only_occlusion)
     from .refine import weighted_median_filter
 
     return weighted_median_filter(

@@ -174,10 +174,116 @@ def compute_flow(
     return flow
 
 
-# jitted entry point; cfg/fine_level_wmf are compile-time
-compute_flow_jit = jax.jit(
+# whole-pipeline jit; cfg/fine_level_wmf are compile-time
+_compute_flow_one_program = jax.jit(
     compute_flow, static_argnames=("cfg", "fine_level_wmf")
 )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _prep_stage(img, cfg):
+    levels, packs = prepare_pyramids(img, cfg)
+    return tuple(levels), tuple(packs)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _match_stage(lvl1, lvl2, pk1, pk2, key, cfg):
+    if cfg.match_engine == "dense":
+        return match_coarse(
+            lvl1, lvl2, cfg.cost, cfg.match, cfg.cost_tap_chunk, pk1, pk2
+        )
+    return patchmatch(
+        pk1, pk2, key, cfg.patchmatch, cfg.cost, cfg.cost_tap_chunk
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _coarse_refine_stage(m1, m2, img_top, cfg):
+    tx1, ty1, c1 = m1
+    tx2, ty2, c2 = m2
+    tx1, ty1, c1, tx2, ty2, c2 = lr_check(
+        tx1, ty1, c1, tx2, ty2, c2, cfg.refine.lr_diff_thresh
+    )
+    tx1, ty1, c1 = outlier_removal(tx1, ty1, c1, cfg.refine)
+    tx1, ty1 = weighted_median_filter_auto(
+        tx1, ty1, img_top, cfg.refine,
+        num_iter=cfg.refine.wmf_coarse_iters, only_occlusion=True,
+    )
+    tx1, ty1 = fill_holes(tx1, ty1, img_top)
+    return nnf_to_flow(tx1, ty1)
+
+
+@partial(jax.jit, static_argnames=("cfg", "oh", "ow", "med"))
+def _refine_pass_stage(flow, pack1, pack2, cfg, oh, ow, med):
+    if oh != flow.shape[0]:
+        flow = bilinear_resize(
+            flow, oh, ow, 1.0 / cfg.pyramid.ratio
+        ) * (1.0 / cfg.pyramid.ratio)
+    if med:
+        flow = median3_flow(flow)
+    return dense_refine_flow(
+        flow, pack1, pack2, cfg.cost, cfg.dense_search_radius, True,
+        cfg.cost_tap_chunk,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _smooth_stage(flow, img, cfg):
+    return flow_smoothing_auto(flow, img, cfg.refine)
+
+
+# Above this many pixels the pipeline executes as staged programs: on
+# this runtime, an XLA module holding two heavyweight subgraphs at
+# 1080p+ (two coarse matchers, or two full-resolution refine passes)
+# faults the TPU worker, while each runs clean as its own program.
+# Staging costs only host dispatch — arrays stay on device throughout.
+STAGED_PIPELINE_THRESHOLD = 1_000_000
+
+
+def compute_flow_jit(img1, img2, key=None, cfg=DEFAULT_CONFIG,
+                     fine_level_wmf: bool = False):
+    """Jitted pipeline entry point.
+
+    Single XLA program for typical sizes; staged programs above
+    STAGED_PIPELINE_THRESHOLD pixels (see note there).  The staged path
+    covers the default configuration (dense engine, no fine-level WMF /
+    subpixel extras); non-default extras fall back to the one-program
+    path.
+    """
+    h = img1.shape[0]
+    w = img1.shape[1]
+    default_shape = (
+        cfg.match_engine == "dense"
+        and cfg.refine_impl == "dense"
+        and not fine_level_wmf
+        and not cfg.subpixel_refine
+    )
+    if h * w <= STAGED_PIPELINE_THRESHOLD or not default_shape:
+        return _compute_flow_one_program(img1, img2, key, cfg, fine_level_wmf)
+    if key is None:
+        key = jax.random.PRNGKey(cfg.seed)
+    k_fwd, k_bwd = jax.random.split(key)
+    levels1, packs1 = _prep_stage(img1, cfg)
+    levels2, packs2 = _prep_stage(img2, cfg)
+    top = len(packs1) - 1
+    m1 = _match_stage(
+        levels1[top], levels2[top], packs1[top], packs2[top], k_fwd, cfg
+    )
+    m2 = _match_stage(
+        levels2[top], levels1[top], packs2[top], packs1[top], k_bwd, cfg
+    )
+    flow = _coarse_refine_stage(m1, m2, levels1[top], cfg)
+    for lvl in range(top - 1, -1, -1):
+        oh, ow = packs1[lvl].shape[0], packs1[lvl].shape[1]
+        flow = _refine_pass_stage(
+            flow, packs1[lvl], packs2[lvl], cfg, oh, ow, False
+        )
+        for _ in range(cfg.dense_refine_passes - 1):
+            flow = _refine_pass_stage(
+                flow, packs1[lvl], packs2[lvl], cfg, oh, ow, True
+            )
+        flow = _smooth_stage(flow, levels1[lvl], cfg)
+    return _smooth_stage(flow, levels1[0], cfg)
 
 
 class EPPMFlow:
