@@ -214,8 +214,9 @@ def _pair_flow_tiled(img1, img2, key, cfg: EPPMConfig, ny: int, nx: int):
                 p1h = _slice_tile_haloed(packs1[lvl], y0, x0, th, tw, G)
                 ext = dense_refine_flow(
                     fh, p1h, packs2[lvl], cfg.cost,
-                    cfg.dense_search_radius, True, cfg.cost_tap_chunk,
-                    origin=(y0 - G, x0 - G),
+                    cfg.dense_search_radius,
+                    cfg.dense_pass2_planes if med else True,
+                    cfg.cost_tap_chunk, origin=(y0 - G, x0 - G),
                 )
                 return ext[G:-G, G:-G]
 
