@@ -123,6 +123,12 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="config override, e.g. refine.wmf_coarse_iters=10")
     p.add_argument("--mesh", metavar="B,Y,X",
                    help="device mesh (batch,y,x) for multi-chip execution")
+    p.add_argument("--frames-dir", metavar="DIR",
+                   help="stream mode: compute flow for every consecutive "
+                        "frame pair in DIR (sorted); threaded batch decode "
+                        "+ pipelined device dispatch")
+    p.add_argument("--out-dir", metavar="DIR",
+                   help="directory for streamed .flo outputs")
     p.add_argument("--eval-dir", metavar="DIR",
                    help="evaluate every sequence directory under DIR")
     p.add_argument("--pattern", default="frame10.ppm,frame11.ppm,flow10.flo",
@@ -139,6 +145,49 @@ def main(argv: Optional[List[str]] = None) -> int:
         mesh_shape = tuple(int(v) for v in args.mesh.split(","))
         if len(mesh_shape) != 3:
             raise SystemExit("--mesh expects B,Y,X")
+
+    if args.frames_dir:
+        import jax
+        import jax.numpy as jnp
+
+        from .io import read_ppm_batch, write_flo
+        from .pipeline import compute_flow_jit
+
+        names = sorted(
+            f for f in os.listdir(args.frames_dir)
+            if f.lower().endswith((".ppm", ".pgm", ".pnm"))
+        )
+        if len(names) < 2:
+            raise SystemExit(f"{args.frames_dir}: need >= 2 PPM frames")
+        paths = [os.path.join(args.frames_dir, f) for f in names]
+        frames = read_ppm_batch(paths)
+        dev_frames = [jnp.asarray(f) for f in frames]
+        # warm-up compile on the first pair
+        _ = np.asarray(compute_flow_jit(dev_frames[0], dev_frames[1], None, cfg))
+        t0 = time.perf_counter()
+        flows = [
+            compute_flow_jit(dev_frames[i], dev_frames[i + 1], None, cfg)
+            for i in range(len(dev_frames) - 1)
+        ]  # async dispatch: device pipelines while host fetches below
+        outs = [np.asarray(f) for f in flows]
+        dt = time.perf_counter() - t0
+        if args.out_dir:
+            os.makedirs(args.out_dir, exist_ok=True)
+            for i, f in enumerate(outs):
+                write_flo(
+                    os.path.join(
+                        args.out_dir,
+                        os.path.splitext(names[i])[0] + ".flo",
+                    ),
+                    f,
+                )
+        print(json.dumps({
+            "frames": len(names),
+            "pairs": len(outs),
+            "fps": round(len(outs) / dt, 3),
+            "out_dir": args.out_dir,
+        }))
+        return 0
 
     if args.eval_dir:
         f1n, f2n, gtn = args.pattern.split(",")

@@ -268,3 +268,27 @@ def test_bad_pixel_error_map():
     assert emap.shape == (4, 5)
     assert emap[0, 0] == 9.0
     assert 0.0 < rate < 1.0
+
+
+def test_cli_stream_mode(tmp_path, rng):
+    """Streaming video mode: N frames -> N-1 .flo files."""
+    from eppm_tpu.cli import main as cli_main
+    from eppm_tpu.io import write_ppm
+    from eppm_tpu.io.flo import read_flo
+
+    frames_dir = tmp_path / "frames"
+    out_dir = tmp_path / "flows"
+    frames_dir.mkdir()
+    img = (np.clip(_textured(rng, 48, 64), 0, 1) * 255).astype(np.uint8)
+    for i in range(3):
+        write_ppm(str(frames_dir / f"f{i}.ppm"), np.roll(img, -2 * i, 1))
+    rc = cli_main([
+        "--frames-dir", str(frames_dir), "--out-dir", str(out_dir),
+        "--set", "pyramid.max_depth=2",
+        "--set", "refine.wmf_coarse_iters=2",
+    ])
+    assert rc == 0
+    flows = sorted(out_dir.iterdir())
+    assert len(flows) == 2
+    f = read_flo(str(flows[0]))
+    assert f.shape == (48, 64, 2) and np.isfinite(f).all()
