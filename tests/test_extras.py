@@ -292,3 +292,18 @@ def test_cli_stream_mode(tmp_path, rng):
     assert len(flows) == 2
     f = read_flo(str(flows[0]))
     assert f.shape == (48, 64, 2) and np.isfinite(f).all()
+
+
+def test_kitti_flow_roundtrip(tmp_path):
+    from eppm_tpu.io.kitti import read_kitti_flow, write_kitti_flow
+
+    rng = np.random.default_rng(8)
+    flow = rng.normal(0, 30, (17, 23, 2)).astype(np.float32)
+    valid = rng.random((17, 23)) > 0.2
+    p = str(tmp_path / "flow.png")
+    write_kitti_flow(p, flow, valid)
+    back, v2 = read_kitti_flow(p)
+    np.testing.assert_array_equal(v2, valid)
+    # 1/64 px quantization
+    np.testing.assert_allclose(back[valid], flow[valid], atol=1 / 64 + 1e-6)
+    assert (back[~valid] == 0).all()
