@@ -103,6 +103,9 @@ def _evaluate(flow, gt_path, border):
 
     gt = read_flo(gt_path)
     epe, aae = flow_error(flow, gt, border=border)
+    if border > 0:  # all three metrics over the same cropped pixel set
+        flow = flow[border:-border, border:-border]
+        gt = gt[border:-border, border:-border]
     bad = bad_pixel_rate(flow, gt, thresh=3.0)
     return {"epe": epe, "aae_deg": aae, "bad3": bad}
 
@@ -160,31 +163,53 @@ def main(argv: Optional[List[str]] = None) -> int:
         if len(names) < 2:
             raise SystemExit(f"{args.frames_dir}: need >= 2 PPM frames")
         paths = [os.path.join(args.frames_dir, f) for f in names]
-        frames = read_ppm_batch(paths)
-        dev_frames = [jnp.asarray(f) for f in frames]
-        # warm-up compile on the first pair
-        _ = np.asarray(compute_flow_jit(dev_frames[0], dev_frames[1], None, cfg))
-        t0 = time.perf_counter()
-        flows = [
-            compute_flow_jit(dev_frames[i], dev_frames[i + 1], None, cfg)
-            for i in range(len(dev_frames) - 1)
-        ]  # async dispatch: device pipelines while host fetches below
-        outs = [np.asarray(f) for f in flows]
-        dt = time.perf_counter() - t0
         if args.out_dir:
             os.makedirs(args.out_dir, exist_ok=True)
-            for i, f in enumerate(outs):
-                write_flo(
-                    os.path.join(
-                        args.out_dir,
-                        os.path.splitext(names[i])[0] + ".flo",
-                    ),
-                    f,
-                )
+
+        # bounded memory: decode frames in chunks, keep a small window of
+        # in-flight device computations (async dispatch pipelines the
+        # device behind host fetch + .flo writes)
+        CHUNK = 32
+        WINDOW = 4
+        n_pairs = len(paths) - 1
+        pending = []  # (name, device flow)
+
+        def drain(limit):
+            while len(pending) > limit:
+                name, fl = pending.pop(0)
+                out = np.asarray(fl)
+                if args.out_dir:
+                    write_flo(
+                        os.path.join(
+                            args.out_dir,
+                            os.path.splitext(name)[0] + ".flo",
+                        ),
+                        out,
+                    )
+
+        prev = None
+        # warm-up compile on the first pair
+        first = read_ppm_batch(paths[:2])
+        _ = np.asarray(compute_flow_jit(
+            jnp.asarray(first[0]), jnp.asarray(first[1]), None, cfg
+        ))
+        t0 = time.perf_counter()
+        for start in range(0, len(paths), CHUNK):
+            frames = read_ppm_batch(paths[start : start + CHUNK])
+            for k in range(frames.shape[0]):
+                cur = jnp.asarray(frames[k])
+                if prev is not None:
+                    idx = start + k - 1
+                    fl = compute_flow_jit(prev, cur, None, cfg)
+                    pending.append((names[idx], fl))
+                    drain(WINDOW)
+                prev = cur
+        drain(0)
+        dt = time.perf_counter() - t0
         print(json.dumps({
             "frames": len(names),
-            "pairs": len(outs),
-            "fps": round(len(outs) / dt, 3),
+            "pairs": n_pairs,
+            "fps": round(n_pairs / dt, 3),
             "out_dir": args.out_dir,
         }))
         return 0

@@ -40,6 +40,9 @@ class PyramidConfig:
 
     max_depth: int = 3
     ratio: float = 0.5
+    # Used by level_dims_min_width (the reference's alternative
+    # bao_pyr_init_dim overload); the default pipeline derives depth from
+    # max_depth exactly as the reference binary does.
     min_width: int = 20
     # Pre-smoothing before pyramid construction
     # (bao_pmflow_refine_kernel.cu:1063-1064: sigma=0.5, radius=2).
@@ -49,12 +52,27 @@ class PyramidConfig:
     def level_dims(self, h: int, w: int) -> Tuple[Tuple[int, int], ...]:
         """Per-level (h, w), level 0 = full resolution.
 
-        Mirrors ``bao_pyr_init_dim`` (basic/bao_basic.h:196-211): dims are
+        Mirrors the max-depth ``bao_pyr_init_dim`` overload the reference
+        pipeline uses (basic/bao_basic.h:201-211, called at
+        bao_flow_patchmatch_multiscale_cuda.cpp:116): dims are
         ``int(h * ratio**i)`` — truncation, not rounding.
         """
         return tuple(
             (int(h * self.ratio**i), int(w * self.ratio**i))
             for i in range(max(self.max_depth, 1))
+        )
+
+    def level_dims_min_width(self, h: int, w: int) -> Tuple[Tuple[int, int], ...]:
+        """Depth-from-min-width variant (the reference's other
+        ``bao_pyr_init_dim`` overload, basic/bao_basic.h:179-198): level
+        count = log(min_width / w) / log(ratio), at least 1."""
+        import math as _math
+
+        n = int(_math.log(max(self.min_width, 1) / w) / _math.log(self.ratio))
+        n = max(n, 1)
+        return tuple(
+            (int(h * self.ratio**i), int(w * self.ratio**i))
+            for i in range(n)
         )
 
 
@@ -153,13 +171,13 @@ class MatchConfig:
 class RefineConfig:
     """Post-PM refinement chain (defs.h:58-68, bao_pmflow_refine_kernel.cu)."""
 
-    # Left-right check tolerance in pixels.  The reference uses 0
-    # (bao_pmflow_refine_kernel.cu:51), which presumes fwd/bwd argmins of
-    # one exact shared cost; the dense matcher's warp-approximated
-    # evaluation adds +-1 px of direction-dependent quantization, so the
-    # matched operating point here is 1 (the reference's own buffered
+    # Left-right check tolerance in pixels; None = engine-matched auto
+    # (see EPPMConfig.lr_thresh): 0 for the patchmatch engine exactly
+    # like the reference (bao_pmflow_refine_kernel.cu:51), 1 for the
+    # dense engine, whose warp-approximated evaluation carries +-1 px of
+    # direction-dependent quantization (the reference's own buffered
     # variant runs at 50, :95-140).
-    lr_diff_thresh: int = 1
+    lr_diff_thresh: "int | None" = None
     # Outlier removal (defs.h:68, bao_pmflow_refine_kernel.cu:146-147)
     stat_radius: int = 6
     stat_sim_thresh: int = 2
@@ -212,6 +230,13 @@ class EPPMConfig:
     # Memory knob: taps evaluated per scan step inside the cost evaluator;
     # bounds peak HBM for full-resolution candidate evaluation.
     cost_tap_chunk: int = 25
+
+    @property
+    def lr_thresh(self) -> int:
+        """Effective left-right tolerance (see RefineConfig.lr_diff_thresh)."""
+        if self.refine.lr_diff_thresh is not None:
+            return self.refine.lr_diff_thresh
+        return 0 if self.match_engine == "patchmatch" else 1
 
     # Coarse-level matching engine:
     #   "dense"      — global MXU descriptor argmax + dense residual

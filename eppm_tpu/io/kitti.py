@@ -44,7 +44,12 @@ def write_png16(path: str, img: np.ndarray) -> None:
 
 
 def _unfilter(raw: bytes, h: int, w: int, bpp: int) -> np.ndarray:
-    """Undo PNG scanline filters for a 16-bit RGB image."""
+    """Undo PNG scanline filters for a 16-bit RGB image.
+
+    Filters 0/1/2 (None/Sub/Up) are vectorized; Average/Paeth fall back
+    to per-byte loops (their predictors are sequentially dependent) — slow
+    for libpng-encoded files that chose them, fine for the common cases
+    and for everything this codec writes (filter 0)."""
     stride = w * bpp
     out = np.empty((h, stride), np.uint8)
     pos = 0
@@ -56,10 +61,10 @@ def _unfilter(raw: bytes, h: int, w: int, bpp: int) -> np.ndarray:
         pos += stride
         if ftype == 0:
             cur = line
-        elif ftype == 1:  # Sub
+        elif ftype == 1:  # Sub: 6 strided modular cumulative sums
             cur = line.copy()
-            for i in range(bpp, stride):
-                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+            for r in range(bpp):
+                cur[r::bpp] = np.cumsum(cur[r::bpp]) & 0xFF
         elif ftype == 2:  # Up
             cur = (line + prev) & 0xFF
         elif ftype == 3:  # Average

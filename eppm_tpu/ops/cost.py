@@ -47,6 +47,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import CostConfig
+from ._util import popcount8 as _popcount8_util
 
 __all__ = [
     "pack_frame",
@@ -73,11 +74,7 @@ def pack_frame(img: jnp.ndarray, census: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def _popcount8(x: jnp.ndarray) -> jnp.ndarray:
-    """Branch-free popcount for 8-bit values stored in int32."""
-    x = x - ((x >> 1) & 0x55)
-    x = (x & 0x33) + ((x >> 2) & 0x33)
-    return (x + (x >> 4)) & 0x0F
+_popcount8 = _popcount8_util
 
 
 def _maxabs3(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

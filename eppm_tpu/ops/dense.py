@@ -43,6 +43,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import FLT_MAX, UNKNOWN_FLOW_THRESH, CostConfig
+from ._util import grid as _grid_util, shift2d as _shift2d
 from .cost import plane_offsets
 
 __all__ = [
@@ -54,18 +55,7 @@ __all__ = [
 ]
 
 
-def _grid(h: int, w: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    return ys, xs
-
-
-def _shift2d(a: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
-    h, w = a.shape[0], a.shape[1]
-    ady, adx = abs(dy), abs(dx)
-    pad = ((ady, ady), (adx, adx)) + ((0, 0),) * (a.ndim - 2)
-    padded = jnp.pad(a, pad, mode="edge")
-    return padded[ady + dy : ady + dy + h, adx + dx : adx + dx + w]
+_grid = _grid_util
 
 
 def median3(x: jnp.ndarray) -> jnp.ndarray:

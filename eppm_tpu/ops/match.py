@@ -46,6 +46,7 @@ import jax.numpy as jnp
 from ..config import CostConfig, MatchConfig
 from .census import census_transform
 from .cost import pack_frame
+from ._util import grid as _grid_util, shift2d as _shift2d_util
 from .dense import median3, residual_costs, warp_pack
 from .pallas_cost import residual_costs_auto
 from .resize import bilinear_resize, gaussian_filter
@@ -58,18 +59,8 @@ __all__ = [
 ]
 
 
-def _grid(h: int, w: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    return ys, xs
-
-
-def _shift2d(a: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
-    h, w = a.shape[0], a.shape[1]
-    ady, adx = abs(dy), abs(dx)
-    pad = ((ady, ady), (adx, adx)) + ((0, 0),) * (a.ndim - 2)
-    padded = jnp.pad(a, pad, mode="edge")
-    return padded[ady + dy : ady + dy + h, adx + dx : adx + dx + w]
+_grid = _grid_util
+_shift2d = _shift2d_util
 
 
 def patch_descriptors(
@@ -316,13 +307,23 @@ def descend_level(
 
 
 def _mini_pyramid(
-    img: jnp.ndarray, levels: int, ratio: float = 0.5
+    img: jnp.ndarray, levels: int, ratio: float = 0.5,
+    pack0: Optional[jnp.ndarray] = None,
 ) -> List[jnp.ndarray]:
-    """Gaussian mini-pyramid below the coarse level (same sigma schedule as
-    the main pyramid, bao_basic_cuda.cuh:619-641): packs per level,
-    level 0 = input resolution."""
+    """Gaussian mini-pyramid below the coarse level: packs per level,
+    level 0 = input resolution (``pack0`` reuses the caller's
+    already-computed level-0 pack).
+
+    Note: levels are built as a *cascade* (each filters its parent with
+    base sigma = 1/ratio - 1 before resampling), unlike the main pyramid
+    (ops/resize.py gaussian_pyramid), which follows the reference's
+    filter-level-0-with-sigma*i schedule.  The mini-pyramid is our own
+    matcher scaffolding with no reference counterpart; the cascade is the
+    cheaper recursion and its blur only seeds coarse init flows."""
     h, w = img.shape[0], img.shape[1]
-    packs = [pack_frame(img, census_transform(img))]
+    if pack0 is None:
+        pack0 = pack_frame(img, census_transform(img))
+    packs = [pack0]
     base_sigma = 1.0 / ratio - 1.0
     cur = img
     for i in range(1, levels + 1):
@@ -359,13 +360,9 @@ def match_coarse(
         and min(h, w) // 2 ** (levels + 1) >= match_cfg.min_level_dim
     ):
         levels += 1
-    packs1 = _mini_pyramid(img1, levels)
-    packs2 = _mini_pyramid(img2, levels)
-    if pack1 is None:
-        pack1 = packs1[0]
-    if pack2 is None:
-        pack2 = packs2[0]
-    packs1[0], packs2[0] = pack1, pack2
+    packs1 = _mini_pyramid(img1, levels, pack0=pack1)
+    packs2 = _mini_pyramid(img2, levels, pack0=pack2)
+    pack1, pack2 = packs1[0], packs2[0]
 
     # Mini-level sweeps use a proportionally smaller patch: the full-size
     # patch spans most of a mini level and loses discrimination.

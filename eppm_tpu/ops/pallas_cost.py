@@ -47,13 +47,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import CostConfig
+from ._util import on_tpu as _on_tpu, round_up as _round_up
 from .cost import plane_offsets
 
 __all__ = ["residual_costs_pallas", "residual_costs_auto"]
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
 
 
 def _cost_kernel(
@@ -266,13 +263,6 @@ def residual_costs_pallas(
 
     out = out[:, :h, :w].reshape(T, K, h, w)
     return out.min(axis=0)
-
-
-def _on_tpu() -> bool:
-    try:
-        return jax.devices()[0].platform not in ("cpu", "gpu")
-    except Exception:
-        return False
 
 
 def residual_costs_auto(

@@ -11,6 +11,14 @@ reads.
 
 Scores are quantized (round(s * 4096)) exactly like the XLA oracle so
 near-ties resolve identically across compilations.
+
+Dispatch note: the pipeline's proposal grid subsamples by 2 above
+MatchConfig.global_stride_threshold, which caps N below the measured
+XLA/kernel crossover (~130k targets: XLA ~106 ms, this kernel ~130 ms —
+per-grid-step overhead dominates until N is several times larger), so
+match_coarse keeps the XLA form.  The kernel is validated against it in
+tools/tpu_check.py and is the drop-in for workloads that need
+full-resolution global argmax at very large N.
 """
 
 from __future__ import annotations
@@ -24,11 +32,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ._util import round_up as _round_up
+
 __all__ = ["global_argmax_pallas"]
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
 
 
 def _match_kernel(

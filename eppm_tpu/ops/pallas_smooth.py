@@ -26,12 +26,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import UNKNOWN_FLOW, UNKNOWN_FLOW_THRESH, RefineConfig
+from ._util import on_tpu as _on_tpu, round_up as _round_up
 
 __all__ = ["flow_smoothing_pallas", "flow_smoothing_auto"]
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
 
 
 def _smooth_kernel(
@@ -173,13 +170,6 @@ def flow_smoothing_pallas(
         out_shape=jax.ShapeDtypeStruct((2, hp, wp), jnp.float32),
     )(jnp.asarray(offs_arr), jnp.asarray(gws), statep)
     return jnp.stack([out[0, :h, :w], out[1, :h, :w]], axis=-1)
-
-
-def _on_tpu() -> bool:
-    try:
-        return jax.devices()[0].platform not in ("cpu", "gpu")
-    except Exception:
-        return False
 
 
 def flow_smoothing_auto(

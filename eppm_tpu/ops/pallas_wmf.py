@@ -36,12 +36,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import FLT_MAX, RefineConfig
+from ._util import on_tpu as _on_tpu, round_up as _round_up
 
 __all__ = ["weighted_median_filter_pallas", "weighted_median_filter_auto"]
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
 
 
 def _wmf_kernel(
@@ -136,25 +133,26 @@ def _wmf_kernel(
 
         jax.lax.fori_loop(0, n_blocks, c_block, 0)
 
-        found = best_ref[0] < FLT_MAX
-        if only_occlusion:
-            replace = found & (val_ref[:] == 0)
-        else:
-            replace = found
-        ox_ref[:] = jnp.where(replace, best_ref[1], ox_ref[:])
-        oy_ref[:] = jnp.where(replace, best_ref[2], oy_ref[:])
-        # validity of replaced pixels follows the reconstructed absolute
-        # target (tx = ox + x >= 0), as the oracle recomputes per pass
+        # negative reconstructed targets are not written (the reference's
+        # write guard, refine_kernel.cu:286)
         ys_f = jax.lax.broadcasted_iota(jnp.int32, (HP, WP), 0).astype(
             jnp.float32
         )
         xs_f = jax.lax.broadcasted_iota(jnp.int32, (HP, WP), 1).astype(
             jnp.float32
         )
-        new_valid = (
-            (best_ref[1] + xs_f >= 0) & (best_ref[2] + ys_f >= 0)
-        ).astype(jnp.float32)
-        val_ref[:] = jnp.where(replace, new_valid, val_ref[:])
+        found = (
+            (best_ref[0] < FLT_MAX)
+            & (best_ref[1] + xs_f >= 0)
+            & (best_ref[2] + ys_f >= 0)
+        )
+        if only_occlusion:
+            replace = found & (val_ref[:] == 0)
+        else:
+            replace = found
+        ox_ref[:] = jnp.where(replace, best_ref[1], ox_ref[:])
+        oy_ref[:] = jnp.where(replace, best_ref[2], oy_ref[:])
+        val_ref[:] = jnp.where(replace, 1.0, val_ref[:])
         return 0
 
     jax.lax.fori_loop(0, num_iter, one_iter, 0)
@@ -372,26 +370,27 @@ def _wmf_tile_kernel(
 
     jax.lax.fori_loop(0, n_blocks, c_block, 0)
 
-    found = best_ref[0] < FLT_MAX
-    cval = crop(val)
-    if only_occlusion:
-        replace = found & (cval == 0)
-    else:
-        replace = found
-    new_ox = jnp.where(replace, best_ref[1], crop(ox))
-    new_oy = jnp.where(replace, best_ref[2], crop(oy))
+    # negative reconstructed targets are not written (the reference's
+    # write guard, refine_kernel.cu:286)
     ys_f = (
         jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0) + ti * TH
     ).astype(jnp.float32)
     xs_f = (
         jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1) + tj * TW
     ).astype(jnp.float32)
-    new_valid = (
-        (best_ref[1] + xs_f >= 0) & (best_ref[2] + ys_f >= 0)
-    ).astype(jnp.float32)
-    ox_out[:] = new_ox
-    oy_out[:] = new_oy
-    valid_out[:] = jnp.where(replace, new_valid, cval)
+    found = (
+        (best_ref[0] < FLT_MAX)
+        & (best_ref[1] + xs_f >= 0)
+        & (best_ref[2] + ys_f >= 0)
+    )
+    cval = crop(val)
+    if only_occlusion:
+        replace = found & (cval == 0)
+    else:
+        replace = found
+    ox_out[:] = jnp.where(replace, best_ref[1], crop(ox))
+    oy_out[:] = jnp.where(replace, best_ref[2], crop(oy))
+    valid_out[:] = jnp.where(replace, 1.0, cval)
 
 
 def _wmf_tiled(
@@ -497,13 +496,6 @@ def _wmf_tiled(
     new_tx = jnp.where(v2, ox2.astype(jnp.int32) + xs, tx)
     new_ty = jnp.where(v2, oy2.astype(jnp.int32) + ys, ty)
     return new_tx, new_ty
-
-
-def _on_tpu() -> bool:
-    try:
-        return jax.devices()[0].platform not in ("cpu", "gpu")
-    except Exception:
-        return False
 
 
 def weighted_median_filter_auto(

@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import CostConfig, PatchMatchConfig
+from ._util import shift2d as _shift2d_util
 from .cost import (
     patch_cost,
     patch_cost_candidates,
@@ -62,12 +63,7 @@ def random_init(
     return tx, ty
 
 
-def _shift2d(a: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
-    """Edge-clamped static shift: out[y, x] = a[clamp(y+dy), clamp(x+dx)]."""
-    h, w = a.shape
-    ady, adx = abs(dy), abs(dx)
-    padded = jnp.pad(a, ((ady, ady), (adx, adx)), mode="edge")
-    return padded[ady + dy : ady + dy + h, adx + dx : adx + dx + w]
+_shift2d = _shift2d_util
 
 
 def _select_best(state, txs, tys, costs):

@@ -34,6 +34,7 @@ from ..config import (
     CostConfig,
     RefineConfig,
 )
+from ._util import grid as _grid_util
 from .cost import patch_cost_planefitting, patch_cost_ad_l2
 
 __all__ = [
@@ -52,10 +53,7 @@ __all__ = [
 ]
 
 
-def _grid(h: int, w: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    return ys, xs
+_grid = _grid_util
 
 
 def _window_offsets(radius: int, chunk: int):
@@ -256,7 +254,13 @@ def weighted_median_filter(
         (best_cost, best_ox, best_oy), _ = jax.lax.scan(
             cand_step, init, jnp.asarray(offs_arr)
         )
-        found = best_cost < FLT_MAX
+        # negative reconstructed targets are not written (the reference's
+        # write guard, refine_kernel.cu:286) — the original value stays
+        found = (
+            (best_cost < FLT_MAX)
+            & (best_ox + xs.astype(jnp.float32) >= 0)
+            & (best_oy + ys.astype(jnp.float32) >= 0)
+        )
         new_tx = jnp.where(
             found, best_ox.astype(jnp.int32) + xs, tx
         )

@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SubpixelConfig, UNKNOWN_FLOW_THRESH
+from ._util import popcount8 as _popcount8, shift2d as _shift
 from .census import census_transform
 from .dense import warp_pack
 
@@ -56,14 +57,6 @@ def bspline_weights(a: float) -> Tuple[float, float, float, float]:
     w2 = (1.0 / 6.0) * (-3 * a**3 + 3 * a * a + 3 * a + 1)
     w3 = (1.0 / 6.0) * (a**3)
     return w0, w1, w2, w3
-
-
-def _shift(img: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
-    h, w = img.shape[0], img.shape[1]
-    ady, adx = abs(dy), abs(dx)
-    pad = ((ady, ady), (adx, adx)) + ((0, 0),) * (img.ndim - 2)
-    p = jnp.pad(img, pad, mode="edge")
-    return p[ady + dy : ady + dy + h, adx + dx : adx + dx + w]
 
 
 def bicubic_shift(img: jnp.ndarray, offy: float, offx: float) -> jnp.ndarray:
@@ -112,12 +105,6 @@ def bicubic_resize2x(img: jnp.ndarray) -> jnp.ndarray:
 def census_2x(img: jnp.ndarray) -> jnp.ndarray:
     """Census transform of the 2x bicubic-upsampled image -> (2H, 2W)."""
     return census_transform(bicubic_resize2x(img))
-
-
-def _popcount8(x: jnp.ndarray) -> jnp.ndarray:
-    x = x - ((x >> 1) & 0x55)
-    x = (x & 0x33) + ((x >> 2) & 0x33)
-    return (x + (x >> 4)) & 0x0F
 
 
 def subpixel_refine(

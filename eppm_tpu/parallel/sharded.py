@@ -153,7 +153,7 @@ def _pair_flow_tiled(img1, img2, key, cfg: EPPMConfig, ny: int, nx: int):
             cfg.cost_tap_chunk,
         )
     tx1, ty1, c1, tx2, ty2, c2 = lr_check(
-        tx1, ty1, c1, tx2, ty2, c2, cfg.refine.lr_diff_thresh
+        tx1, ty1, c1, tx2, ty2, c2, cfg.lr_thresh
     )
     tx1, ty1, c1 = outlier_removal(tx1, ty1, c1, cfg.refine)
     tx1, ty1 = weighted_median_filter_auto(
@@ -200,11 +200,20 @@ def _pair_flow_tiled(img1, img2, key, cfg: EPPMConfig, ny: int, nx: int):
         if cfg.refine_impl == "dense":
             # Warp + residual search on a tile extended by halo G so the
             # cropped interior is bitwise-equal to the single-chip result:
-            # taps on the warped frame reach <= cmax + tmax (~14) px and
-            # the warp reads the full replicated frame 2 at global
-            # (clamped) coordinates.  Each pass re-exchanges the flow halo
-            # (iterative warping needs fresh neighbor state).
-            G = 16
+            # taps on the warped frame reach cmax + tmax px (candidate
+            # radius + max plane-warped tap offset) and the warp reads the
+            # full replicated frame 2 at global (clamped) coordinates.
+            # Each pass re-exchanges the flow halo (iterative warping
+            # needs fresh neighbor state).
+            from ..ops.cost import plane_offsets
+
+            tmax = max(
+                max(abs(i), abs(j))
+                for tbl in plane_offsets(cfg.cost)
+                for (i, j) in tbl
+            )
+            reach = max(cfg.dense_search_radius + tmax, cfg.cost.patch_radius)
+            G = -(-reach // 8) * 8
 
             def refine_tile(ft, med: bool):
                 fh = halo_exchange_2d(ft, G + 1, boundary="edge")

@@ -126,7 +126,7 @@ def compute_flow(
             cfg.cost_tap_chunk,
         )
     tx1, ty1, c1, tx2, ty2, c2 = lr_check(
-        tx1, ty1, c1, tx2, ty2, c2, cfg.refine.lr_diff_thresh
+        tx1, ty1, c1, tx2, ty2, c2, cfg.lr_thresh
     )
     tx1, ty1, c1 = outlier_removal(tx1, ty1, c1, cfg.refine)
     tx1, ty1 = weighted_median_filter_auto(
@@ -203,7 +203,7 @@ def _coarse_refine_stage(m1, m2, img_top, cfg):
     tx1, ty1, c1 = m1
     tx2, ty2, c2 = m2
     tx1, ty1, c1, tx2, ty2, c2 = lr_check(
-        tx1, ty1, c1, tx2, ty2, c2, cfg.refine.lr_diff_thresh
+        tx1, ty1, c1, tx2, ty2, c2, cfg.lr_thresh
     )
     tx1, ty1, c1 = outlier_removal(tx1, ty1, c1, cfg.refine)
     tx1, ty1 = weighted_median_filter_auto(
