@@ -150,50 +150,115 @@ def subpixel_refine(
     center1 = img1
     center2 = J  # J(p) = img2 at integer target
 
+    # Half-pixel sampling decomposes into FOUR phase images per frame
+    # (fractional part of a half-integer offset is 0 or 0.5 per axis):
+    # value(q + e) = PHASE[frac(e)](q + floor(e)).  Everything after this
+    # is integer static shifts, scanned in chunks so the HLO stays
+    # compact (the naive 25x100 unrolled bicubic form took tens of
+    # minutes to compile).
+    def phases(img):
+        return jnp.stack([
+            bicubic_shift(img, fy, fx)
+            for fy in (0.0, 0.5) for fx in (0.0, 0.5)
+        ])  # (4, H, W, 3); index = 2*frac_y + frac_x
+
+    ph1 = phases(center1)
+    ph2 = phases(center2)
+
     # static tap set: (i, j) in {-R..R step 2}^2, sampled at (i, j)/up
     taps = [
         (i, j)
         for i in range(-R, R + 1, 2)
         for j in range(-R, R + 1, 2)
     ]
+    grid = [(dy, dx) for dy in range(-nr, nr + 1) for dx in range(-nr, nr + 1)]
 
-    def cost_at(cy: int, cx: int) -> jnp.ndarray:
-        """Dense cost of evaluation position t + (cy, cx)/up."""
-        acc_c = jnp.zeros((h, w), jnp.float32)
-        acc_w = jnp.zeros((h, w), jnp.float32)
-        for (i, j) in taps:
+    def decomp(num: int):
+        """half-integer num/2 -> (floor, phase-bit)."""
+        return num // 2, num % 2
+
+    # per grid position: tap rows of integer shifts + phase plane ids
+    CH = 25  # taps per fused chunk
+    n_taps = len(taps)
+    n_chunks = -(-n_taps // CH)
+    tab_i = np.zeros((len(grid), n_chunks, CH, 10), np.int32)
+    tab_w = np.zeros((len(grid), n_chunks, CH), np.float32)
+    for g_idx, (cy, cx) in enumerate(grid):
+        for t_idx, (i, j) in enumerate(taps):
             gw = math.exp(-(j * j) / sig_s2) * math.exp(-(i * i) / sig_s2)
-            oy1, ox1 = i / up, j / up
-            p1 = bicubic_shift(center1, oy1, ox1)
-            p2 = bicubic_shift(center2, (i + cy) / up, (j + cx) / up)
-            # census taps are integer positions on the 2x grid
-            s1 = _shift(cen1_2x, i, j)[::2, ::2]
-            s2 = _shift(cen2_2x, i + cy, j + cx)[::2, ::2]
-            d = jnp.abs(p1 - p2)
-            ad = jnp.maximum(jnp.maximum(d[..., 0], d[..., 1]), d[..., 2])
-            c_ad = 1.0 - jnp.exp(-(ad * ad) / lam_ad2)
-            ham = _popcount8(s1 ^ s2).astype(jnp.float32)
-            c_cen = 1.0 - jnp.exp(-(ham * ham) / lam_cen2)
-            d1 = jnp.abs(center1 - p1)
-            dr1 = jnp.maximum(jnp.maximum(d1[..., 0], d1[..., 1]), d1[..., 2])
-            d2 = jnp.abs(center2 - p2)
-            dr2 = jnp.maximum(jnp.maximum(d2[..., 0], d2[..., 1]), d2[..., 2])
-            wgt = jnp.exp(-(dr1 * dr1 + dr2 * dr2) / sig_r2) * gw
-            acc_c = acc_c + wgt * (c_ad + c_cen)
-            acc_w = acc_w + wgt
+            k1y, p1y = decomp(i)
+            k1x, p1x = decomp(j)
+            k2y, p2y = decomp(i + cy)
+            k2x, p2x = decomp(j + cx)
+            c, t = divmod(t_idx, CH)
+            tab_i[g_idx, c, t] = (
+                2 * p1y + p1x, k1y, k1x, 2 * p2y + p2x, k2y, k2x,
+                i, j, i + cy, j + cx,
+            )
+            tab_w[g_idx, c, t] = gw
+
+    # pad everything once; tap reads become dynamic slices
+    PAD = R + nr + 2
+    ph1p = jnp.pad(ph1, ((0, 0), (PAD, PAD), (PAD, PAD), (0, 0)), mode="edge")
+    ph2p = jnp.pad(ph2, ((0, 0), (PAD, PAD), (PAD, PAD), (0, 0)), mode="edge")
+    PAD2 = 2 * PAD
+    c1p = jnp.pad(cen1_2x, PAD2, mode="edge")
+    c2p = jnp.pad(cen2_2x, PAD2, mode="edge")
+
+    def one_tap(row, gw):
+        p1 = jax.lax.dynamic_slice(
+            ph1p, (row[0], PAD + row[1], PAD + row[2], 0), (1, h, w, 3)
+        )[0]
+        p2 = jax.lax.dynamic_slice(
+            ph2p, (row[3], PAD + row[4], PAD + row[5], 0), (1, h, w, 3)
+        )[0]
+        s1 = jax.lax.dynamic_slice(
+            c1p, (PAD2 + row[6], PAD2 + row[7]), (2 * h, 2 * w)
+        )[::2, ::2]
+        s2 = jax.lax.dynamic_slice(
+            c2p, (PAD2 + row[8], PAD2 + row[9]), (2 * h, 2 * w)
+        )[::2, ::2]
+        d = jnp.abs(p1 - p2)
+        ad = jnp.maximum(jnp.maximum(d[..., 0], d[..., 1]), d[..., 2])
+        c_ad = 1.0 - jnp.exp(-(ad * ad) / lam_ad2)
+        ham = _popcount8(s1 ^ s2).astype(jnp.float32)
+        c_cen = 1.0 - jnp.exp(-(ham * ham) / lam_cen2)
+        d1 = jnp.abs(center1 - p1)
+        dr1 = jnp.maximum(jnp.maximum(d1[..., 0], d1[..., 1]), d1[..., 2])
+        d2 = jnp.abs(center2 - p2)
+        dr2 = jnp.maximum(jnp.maximum(d2[..., 0], d2[..., 1]), d2[..., 2])
+        wgt = jnp.exp(-(dr1 * dr1 + dr2 * dr2) / sig_r2) * gw
+        return wgt * (c_ad + c_cen), wgt
+
+    def one_position(tables):
+        rows_pos, gws_pos = tables  # (n_chunks, CH, 10), (n_chunks, CH)
+
+        def chunk_step(carry, data):
+            acc_c, acc_w = carry
+            cs, ws = jax.vmap(one_tap)(*data)
+            return (acc_c + cs.sum(0), acc_w + ws.sum(0)), None
+
+        init = (
+            jnp.zeros((h, w), jnp.float32),
+            jnp.zeros((h, w), jnp.float32),
+        )
+        (acc_c, acc_w), _ = jax.lax.scan(
+            chunk_step, init, (rows_pos, gws_pos)
+        )
         return acc_c / jnp.maximum(acc_w, 1e-30)
 
-    # 5x5 half-pixel cost grid; out-of-image positions read cost 2.0
-    # (refine_kernel.cu:560-566)
-    grid = [(dy, dx) for dy in range(-nr, nr + 1) for dx in range(-nr, nr + 1)]
-    Bs = []
-    for (dy, dx) in grid:
-        c = cost_at(dy, dx)
+    B = jax.lax.map(
+        one_position, (jnp.asarray(tab_i), jnp.asarray(tab_w))
+    )  # (25, H, W)
+
+    # out-of-image positions read cost 2.0 (refine_kernel.cu:560-566)
+    masked = []
+    for g_idx, (dy, dx) in enumerate(grid):
         nx = tx.astype(jnp.float32) + dx / up
         ny = ty.astype(jnp.float32) + dy / up
         inb = (nx >= 0) & (nx < w) & (ny >= 0) & (ny < h)
-        Bs.append(jnp.where(inb, c, 2.0))
-    B = jnp.stack(Bs)  # (25, H, W)
+        masked.append(jnp.where(inb, B[g_idx], 2.0))
+    B = jnp.stack(masked)  # (25, H, W)
 
     # constant least-squares operator: X = pinv(A) @ B
     A = np.asarray(
