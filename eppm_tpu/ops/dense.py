@@ -210,7 +210,11 @@ def residual_costs(
         (cost_sum, weight_sum), _ = jax.lax.scan(
             chunk_step, init, (jnp.asarray(tap_idx), jnp.asarray(tap_gw))
         )
-        return cost_sum / jnp.maximum(weight_sum, 1e-30)
+        # Quantize (2^-17 grid) so argmin ties resolve identically across
+        # XLA compilations (monolithic vs sharded programs reassociate
+        # reductions differently); same grid as the Pallas kernel.
+        cost = cost_sum / jnp.maximum(weight_sum, 1e-30)
+        return jnp.round(cost * 131072.0) * (1.0 / 131072.0)
 
     cands = jnp.asarray(list(cand_offsets), jnp.int32)  # (K, 2) as (dy, dx)
 

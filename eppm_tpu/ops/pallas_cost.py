@@ -158,8 +158,10 @@ def _cost_kernel(
     for tb in range(n_tables):
         for k in range(K):
             idx = 2 * (tb * K + k)
-            out_ref[tb * K + k] = acc_ref[idx] / jnp.maximum(
-                acc_ref[idx + 1], 1e-30
+            cost = acc_ref[idx] / jnp.maximum(acc_ref[idx + 1], 1e-30)
+            # tie-stability quantization, same grid as the XLA oracle
+            out_ref[tb * K + k] = jnp.round(cost * 131072.0) * (
+                1.0 / 131072.0
             )
 
 
