@@ -204,6 +204,11 @@ def rescore_multi(
     warped = jnp.take(flat, (cy * w2 + cx).reshape(-1), axis=0).reshape(
         k, h, w, pack2.shape[2]
     )
+    from ._util import on_tpu
+    from .pallas_cost import residual_costs_multiwarp_pallas
+
+    if on_tpu():
+        return residual_costs_multiwarp_pallas(pack1, warped, cost_cfg)
     eval_one = lambda wp: residual_costs_auto(
         pack1, wp, [(0, 0)], cost_cfg, False, tap_chunk
     )[0]

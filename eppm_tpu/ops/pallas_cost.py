@@ -61,6 +61,7 @@ def _cost_kernel(
     p1_ref, w2_ref, r1_ref, r2_ref, acc_ref, sem,
     *,
     cands: Tuple[Tuple[int, int], ...],
+    chan_bases: Tuple[int, ...],
     n_taps: int,
     n_tables: int,
     HY: int, HX: int, TH: int, TW: int,
@@ -94,11 +95,11 @@ def _cost_kernel(
     c1b = p1v[2, HY : HY + TH, HX : HX + TW]
     centers2 = [
         (
-            w2v[0, HY + cy : HY + cy + TH, HX + cx : HX + cx + TW],
-            w2v[1, HY + cy : HY + cy + TH, HX + cx : HX + cx + TW],
-            w2v[2, HY + cy : HY + cy + TH, HX + cx : HX + cx + TW],
+            w2v[cb + 0, HY + cy : HY + cy + TH, HX + cx : HX + cx + TW],
+            w2v[cb + 1, HY + cy : HY + cy + TH, HX + cx : HX + cx + TW],
+            w2v[cb + 2, HY + cy : HY + cy + TH, HX + cx : HX + cx + TW],
         )
-        for (cy, cx) in cands
+        for (cy, cx), cb in zip(cands, chan_bases)
     ]
 
     def tap_body(t, _):
@@ -127,11 +128,11 @@ def _cost_kernel(
             r2_ref[:] = pltpu.roll(
                 pltpu.roll(w2v, (WH - dy2) % WH, 1), (WW - dx2) % WW, 2
             )
-            for k, (cy, cx) in enumerate(cands):
-                r2 = r2_ref[0, HY + cy : HY + cy + TH, HX + cx : HX + cx + TW]
-                g2 = r2_ref[1, HY + cy : HY + cy + TH, HX + cx : HX + cx + TW]
-                b2 = r2_ref[2, HY + cy : HY + cy + TH, HX + cx : HX + cx + TW]
-                s2 = r2_ref[3, HY + cy : HY + cy + TH, HX + cx : HX + cx + TW]
+            for k, ((cy, cx), cb) in enumerate(zip(cands, chan_bases)):
+                r2 = r2_ref[cb + 0, HY + cy : HY + cy + TH, HX + cx : HX + cx + TW]
+                g2 = r2_ref[cb + 1, HY + cy : HY + cy + TH, HX + cx : HX + cx + TW]
+                b2 = r2_ref[cb + 2, HY + cy : HY + cy + TH, HX + cx : HX + cx + TW]
+                s2 = r2_ref[cb + 3, HY + cy : HY + cy + TH, HX + cx : HX + cx + TW]
                 ad = jnp.maximum(
                     jnp.maximum(jnp.abs(r1 - r2), jnp.abs(g1 - g2)),
                     jnp.abs(b1 - b2),
@@ -231,6 +232,7 @@ def residual_costs_pallas(
     kern = functools.partial(
         _cost_kernel,
         cands=tuple(cand_offsets),
+        chan_bases=(0,) * K,
         n_taps=n_taps,
         n_tables=T,
         HY=HY, HX=HX, TH=TH, TW=TW,
@@ -265,6 +267,94 @@ def residual_costs_pallas(
 
     out = out[:, :h, :w].reshape(T, K, h, w)
     return out.min(axis=0)
+
+
+def residual_costs_multiwarp_pallas(
+    pack1: jnp.ndarray,
+    warped_stack: jnp.ndarray,
+    cfg: CostConfig,
+    tile: Tuple[int, int] = (128, 128),
+) -> jnp.ndarray:
+    """Fronto-parallel residual cost of K *different* warped frames in one
+    kernel launch: warped_stack (K, H, W, 4) -> (K, H, W).
+
+    Used by the dense matcher's propagation rounds (ops/match.py
+    rescore_multi), where K candidate flow fields each produce their own
+    warp; evaluating them as channel groups of one window avoids K
+    sequential kernel dispatches.
+    """
+    K, h, w = warped_stack.shape[0], warped_stack.shape[1], warped_stack.shape[2]
+    sig_s2 = cfg.sigma_spatial * cfg.sigma_spatial
+    n_taps = len(cfg.tap_offsets)
+    taps_arr = np.zeros((n_taps, 4), np.int32)
+    gws_arr = np.zeros((n_taps, 1), np.float32)
+    for t, (dy1, dx1) in enumerate(cfg.tap_offsets):
+        taps_arr[t] = (dy1, dx1, dy1, dx1)
+        gws_arr[t, 0] = math.exp(-(dy1 * dy1) / sig_s2) * math.exp(
+            -(dx1 * dx1) / sig_s2
+        )
+
+    R = cfg.patch_radius
+    TH, TW = tile
+    TH = min(TH, _round_up(h, 8))
+    TW = min(TW, _round_up(w, 128))
+    HY = _round_up(R, 8)
+    HX = _round_up(R, 128)
+    C2 = 4 * K
+
+    def vmem_bytes(th, tw):
+        win1 = 4 * (th + 2 * HY) * (tw + 2 * HX) * 4
+        win2 = C2 * (th + 2 * HY) * (tw + 2 * HX) * 4
+        acc = 2 * K * th * tw * 4
+        outb = 2 * K * th * tw * 4
+        return 2 * win1 + 2 * win2 + acc + outb
+
+    while TH > 8 and vmem_bytes(TH, TW) > 14 * 2**20:
+        TH = max(8, _round_up(TH // 2, 8))
+
+    ph = (-h) % TH
+    pw = (-w) % TW
+    hp, wp = h + ph, w + pw
+    p1 = jnp.moveaxis(pack1, -1, 0)
+    # (K, H, W, 4) -> (4K, H, W), candidate k in channels 4k..4k+3
+    wd = jnp.moveaxis(warped_stack, -1, 1).reshape(C2, h, w)
+    pack1p = jnp.pad(p1, ((0, 0), (HY, HY + ph), (HX, HX + pw)), mode="edge")
+    warpedp = jnp.pad(wd, ((0, 0), (HY, HY + ph), (HX, HX + pw)), mode="edge")
+
+    kern = functools.partial(
+        _cost_kernel,
+        cands=((0, 0),) * K,
+        chan_bases=tuple(4 * k for k in range(K)),
+        n_taps=n_taps,
+        n_tables=1,
+        HY=HY, HX=HX, TH=TH, TW=TW,
+        lam_ad2=cfg.lambda_ad**2,
+        lam_cen2=(cfg.lambda_census * cfg.census_max_diff) ** 2,
+        inv_sig_r2=1.0 / (cfg.sigma_range**2),
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(hp // TH, wp // TW),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec((K, TH, TW), lambda i, j, *_: (0, i, j)),
+        scratch_shapes=[
+            pltpu.VMEM((4, TH + 2 * HY, TW + 2 * HX), jnp.float32),
+            pltpu.VMEM((C2, TH + 2 * HY, TW + 2 * HX), jnp.float32),
+            pltpu.VMEM((4, TH + 2 * HY, TW + 2 * HX), jnp.float32),
+            pltpu.VMEM((C2, TH + 2 * HY, TW + 2 * HX), jnp.float32),
+            pltpu.VMEM((2 * K, TH, TW), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((K, hp, wp), jnp.float32),
+    )(jnp.asarray(taps_arr), jnp.asarray(gws_arr), pack1p, warpedp)
+    return out[:, :h, :w]
 
 
 def residual_costs_auto(
