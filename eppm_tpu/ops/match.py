@@ -207,7 +207,11 @@ def rescore_multi(
     from ._util import on_tpu
     from .pallas_cost import residual_costs_multiwarp_pallas
 
-    if on_tpu():
+    # Size-gated: the wide (4K-channel) windows destabilize this TPU
+    # runtime when the multiwarp kernel sits inside a large module
+    # (1080p-coarse match stage faults; standalone it runs clean).  At
+    # big levels the proven single-warp path is used instead.
+    if on_tpu() and h * w <= 50_000:
         return residual_costs_multiwarp_pallas(pack1, warped, cost_cfg)
     eval_one = lambda wp: residual_costs_auto(
         pack1, wp, [(0, 0)], cost_cfg, False, tap_chunk

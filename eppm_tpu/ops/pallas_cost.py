@@ -309,7 +309,10 @@ def residual_costs_multiwarp_pallas(
         outb = 2 * K * th * tw * 4
         return 2 * win1 + 2 * win2 + acc + outb
 
-    while TH > 8 and vmem_bytes(TH, TW) > 14 * 2**20:
+    # tighter budget than the single-warp kernel: the wide (4K-channel)
+    # windows leave less headroom for the compiler's own scoped buffers
+    # (the helper crashes without a diagnostic when exceeded)
+    while TH > 8 and vmem_bytes(TH, TW) > 9 * 2**20:
         TH = max(8, _round_up(TH // 2, 8))
 
     ph = (-h) % TH
