@@ -151,8 +151,10 @@ class MatchConfig:
     # Patch radius for mini-level sweeps (full-size patches span most of a
     # mini level and lose discrimination); stride 1.
     mini_patch_radius: int = 4
-    # Final polish sweep radius at the coarse level (0 disables).
-    final_radius: int = 2
+    # Final polish sweep radius at the coarse level (0 disables);
+    # radius 3 measures ~0.05 px better EPE than 2 on every synthetic
+    # case for ~8 ms.
+    final_radius: int = 3
     # Global descriptor matching: tap grid and feature scaling.
     desc_radius: int = 8
     desc_tap_stride: int = 4

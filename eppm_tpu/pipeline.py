@@ -159,7 +159,7 @@ def compute_flow(
         flow = flow_smoothing_auto(flow, levels1[lvl], cfg.refine)
         if fine_level_wmf:
             ftx, fty = flow_to_nnf(flow)
-            ftx, fty = weighted_median_filter(
+            ftx, fty = weighted_median_filter_auto(
                 ftx, fty, levels1[lvl], cfg.refine, num_iter=1,
                 only_occlusion=False,
             )
