@@ -142,3 +142,26 @@ def test_fine_level_wmf_option(rng):
     assert np.isfinite(flow).all()
     b = 10
     assert abs(np.median(flow[b:-b, b:-b, 0]) - 3.0) <= 1.0
+
+
+def test_staged_pipeline_matches_one_program(rng, monkeypatch):
+    """The >1M-pixel staged execution path, forced on a small image, must
+    agree with the monolithic program at the decision level (see
+    tests/test_sharded.py for why not bitwise)."""
+    import eppm_tpu.pipeline as P
+
+    cfg = _test_cfg()
+    h, w = 64, 80
+    img2 = _textured(rng, h, w)
+    img1 = np.roll(img2, (-3, -2), axis=(1, 0))
+    key = jax.random.PRNGKey(cfg.seed)
+    one = np.asarray(
+        P.compute_flow_jit(jnp.asarray(img1), jnp.asarray(img2), key, cfg)
+    )
+    monkeypatch.setattr(P, "STAGED_PIPELINE_THRESHOLD", 0)
+    staged = np.asarray(
+        P.compute_flow_jit(jnp.asarray(img1), jnp.asarray(img2), key, cfg)
+    )
+    d = np.abs(staged - one).max(axis=-1)
+    assert (d < 1e-3).mean() > 0.9
+    assert float(np.mean(d)) < 0.2
