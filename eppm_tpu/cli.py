@@ -48,7 +48,11 @@ def apply_overrides(cfg: EPPMConfig, overrides: List[str]) -> EPPMConfig:
             value = raw
 
         def rebuild(node, ks):
-            if not hasattr(node, ks[0]):
+            # Validate against actual dataclass fields: hasattr() would
+            # accept properties/methods (e.g. lr_thresh) and then fail
+            # inside dataclasses.replace with an opaque TypeError.
+            field_names = {f.name for f in dataclasses.fields(node)}
+            if ks[0] not in field_names:
                 raise SystemExit(f"unknown config field {path!r}")
             if len(ks) == 1:
                 return dataclasses.replace(node, **{ks[0]: value})
@@ -98,10 +102,20 @@ def _compute(img1, img2, cfg, mesh_shape=None):
 
 
 def _evaluate(flow, gt_path, border):
-    from .io.flo import read_flo
     from .metrics import bad_pixel_rate, flow_error
 
-    gt = read_flo(gt_path)
+    if gt_path.lower().endswith(".png"):
+        # KITTI 16-bit PNG ground truth; invalid pixels become the
+        # unknown-flow sentinel so the reference metric skips them
+        from .config import UNKNOWN_FLOW
+        from .io.kitti import read_kitti_flow
+
+        gt, valid = read_kitti_flow(gt_path)
+        gt = np.where(valid[..., None], gt, np.float32(UNKNOWN_FLOW))
+    else:
+        from .io.flo import read_flo
+
+        gt = read_flo(gt_path)
     epe, aae = flow_error(flow, gt, border=border)
     if border > 0:  # all three metrics over the same cropped pixel set
         flow = flow[border:-border, border:-border]

@@ -46,11 +46,18 @@ def write_png16(path: str, img: np.ndarray) -> None:
 def _unfilter(raw: bytes, h: int, w: int, bpp: int) -> np.ndarray:
     """Undo PNG scanline filters for a 16-bit RGB image.
 
-    Filters 0/1/2 (None/Sub/Up) are vectorized; Average/Paeth fall back
-    to per-byte loops (their predictors are sequentially dependent) — slow
-    for libpng-encoded files that chose them, fine for the common cases
-    and for everything this codec writes (filter 0)."""
+    Dispatches to the native C unfilter (native/eppm_io.cpp
+    eppm_png_unfilter) when the library is built — Average/Paeth
+    predictors are sequentially dependent along the row, a linear C pass.
+    The pure-NumPy fallback vectorizes filters 0/1/2 over the row and
+    Average/Paeth per pixel-lane (bpp bytes at a time, one Python step
+    per column rather than per byte)."""
+    from .native import png_unfilter_native
+
     stride = w * bpp
+    native = png_unfilter_native(raw, h, stride, bpp)
+    if native is not None:
+        return native
     out = np.empty((h, stride), np.uint8)
     pos = 0
     prev = np.zeros(stride, np.int32)
@@ -67,21 +74,35 @@ def _unfilter(raw: bytes, h: int, w: int, bpp: int) -> np.ndarray:
                 cur[r::bpp] = np.cumsum(cur[r::bpp]) & 0xFF
         elif ftype == 2:  # Up
             cur = (line + prev) & 0xFF
-        elif ftype == 3:  # Average
-            cur = line.copy()
-            for i in range(stride):
-                left = cur[i - bpp] if i >= bpp else 0
-                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            cur = line.copy()
-            for i in range(stride):
-                a = cur[i - bpp] if i >= bpp else 0
-                b = prev[i]
-                c = prev[i - bpp] if i >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[i] = (cur[i] + pred) & 0xFF
+        elif ftype == 3:  # Average: recurrence on the left pixel only —
+            # walk columns, vectorized over the bpp byte lanes
+            px = line.reshape(w, bpp)
+            up = prev.reshape(w, bpp)
+            cur2 = np.empty((w, bpp), np.int32)
+            left = np.zeros(bpp, np.int32)
+            for x in range(w):
+                left = (px[x] + ((left + up[x]) >> 1)) & 0xFF
+                cur2[x] = left
+            cur = cur2.reshape(stride)
+        elif ftype == 4:  # Paeth: same column walk, bpp lanes at a time
+            px = line.reshape(w, bpp)
+            up = prev.reshape(w, bpp)
+            cur2 = np.empty((w, bpp), np.int32)
+            left = np.zeros(bpp, np.int32)
+            upleft = np.zeros(bpp, np.int32)
+            for x in range(w):
+                p = left + up[x] - upleft
+                pa = np.abs(p - left)
+                pb = np.abs(p - up[x])
+                pc = np.abs(p - upleft)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left,
+                    np.where(pb <= pc, up[x], upleft),
+                )
+                left = (px[x] + pred) & 0xFF
+                upleft = up[x]
+                cur2[x] = left
+            cur = cur2.reshape(stride)
         else:
             raise ValueError(f"unsupported PNG filter {ftype}")
         out[y] = cur.astype(np.uint8)
@@ -116,6 +137,8 @@ def read_png16(path: str) -> np.ndarray:
             idat += body
         elif tag == b"IEND":
             break
+    if w is None or h is None:
+        raise ValueError(f"{path}: missing IHDR chunk")
     raw = zlib.decompress(idat)
     bpp = 6  # 3 channels x 2 bytes
     rows = _unfilter(raw, h, w, bpp)

@@ -19,7 +19,8 @@ from typing import List, Optional
 import numpy as np
 
 __all__ = ["lib", "available", "read_ppm_native", "write_ppm_native",
-           "read_flo_native", "write_flo_native", "read_ppm_batch"]
+           "read_flo_native", "write_flo_native", "read_ppm_batch",
+           "png_unfilter_native"]
 
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
@@ -31,12 +32,32 @@ def _lib_path() -> str:
     return os.path.join(root, "native", "libeppm_io.so")
 
 
+def _try_build(path: str) -> None:
+    """Build the shared library on demand (it is not checked into git).
+    Quiet best-effort: any failure simply leaves the Python fallbacks."""
+    import subprocess
+
+    try:
+        subprocess.run(
+            ["make", "-C", os.path.dirname(path)],
+            capture_output=True, timeout=120, check=False,
+        )
+    except (OSError, subprocess.SubprocessError):
+        pass
+
+
 def lib() -> Optional[ctypes.CDLL]:
     global _LIB, _TRIED
     if _TRIED:
         return _LIB
     _TRIED = True
     path = _lib_path()
+    src = os.path.join(os.path.dirname(path), "eppm_io.cpp")
+    if not os.path.exists(path) or (
+        os.path.exists(src)
+        and os.path.getmtime(src) > os.path.getmtime(path)
+    ):
+        _try_build(path)
     if not os.path.exists(path):
         return None
     try:
@@ -63,6 +84,14 @@ def lib() -> Optional[ctypes.CDLL]:
                    "eppm_ppm_read_batch", "eppm_flo_probe",
                    "eppm_flo_read", "eppm_flo_write"):
             getattr(L, fn).restype = ctypes.c_int
+        # Present in libraries built after round 1; optional for stale .so
+        try:
+            L.eppm_png_unfilter.argtypes = [
+                ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_void_p]
+            L.eppm_png_unfilter.restype = ctypes.c_int
+        except AttributeError:
+            pass
         _LIB = L
     except OSError:
         _LIB = None
@@ -142,6 +171,26 @@ def write_flo_native(path: str, flow: np.ndarray) -> bool:
     if rc != 0:
         raise IOError(f"{path}: .flo write failed ({rc})")
     return True
+
+
+def png_unfilter_native(
+    raw: bytes, h: int, stride: int, bpp: int
+) -> Optional[np.ndarray]:
+    """Undo PNG scanline filters natively -> (h, stride) uint8, or None
+    when the library (or the symbol, in a stale build) is unavailable."""
+    L = lib()
+    if L is None or not hasattr(L, "eppm_png_unfilter"):
+        return None
+    out = np.empty((h, stride), np.uint8)
+    rc = L.eppm_png_unfilter(
+        raw, len(raw), h, stride, bpp,
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    if rc == -1:
+        raise ValueError("PNG data truncated")
+    if rc != 0:
+        raise ValueError(f"unsupported PNG filter (rc={rc})")
+    return out
 
 
 def read_ppm_batch(

@@ -200,6 +200,66 @@ int eppm_flo_read(const char* path, float* out, int h, int w) {
   return got == n ? 0 : -3;
 }
 
+// ---- PNG scanline unfilter ---------------------------------------------
+//
+// Undo PNG row filters (spec: RFC 2083 section 6) for the KITTI 16-bit
+// flow PNG reader (eppm_tpu/io/kitti.py).  Average/Paeth predictors are
+// sequentially dependent along the row, which makes them pathologically
+// slow in Python; here each row is a trivial linear pass.
+// `raw` is the zlib-inflated IDAT stream: h rows of (1 filter byte +
+// `stride` data bytes).  Returns 0, or a negative code on a short buffer
+// or unknown filter type.
+
+int eppm_png_unfilter(const uint8_t* raw, long raw_len, int h, int stride,
+                      int bpp, uint8_t* out) {
+  if ((long)h * (stride + 1) > raw_len) return -1;
+  const uint8_t* prev = nullptr;
+  long pos = 0;
+  for (int y = 0; y < h; ++y) {
+    int ft = raw[pos++];
+    uint8_t* cur = out + (long)y * stride;
+    memcpy(cur, raw + pos, stride);
+    pos += stride;
+    switch (ft) {
+      case 0:
+        break;
+      case 1:  // Sub
+        for (int i = bpp; i < stride; ++i)
+          cur[i] = (uint8_t)(cur[i] + cur[i - bpp]);
+        break;
+      case 2:  // Up
+        if (prev)
+          for (int i = 0; i < stride; ++i)
+            cur[i] = (uint8_t)(cur[i] + prev[i]);
+        break;
+      case 3:  // Average
+        for (int i = 0; i < stride; ++i) {
+          int left = i >= bpp ? cur[i - bpp] : 0;
+          int up = prev ? prev[i] : 0;
+          cur[i] = (uint8_t)(cur[i] + ((left + up) >> 1));
+        }
+        break;
+      case 4:  // Paeth
+        for (int i = 0; i < stride; ++i) {
+          int a = i >= bpp ? cur[i - bpp] : 0;
+          int b = prev ? prev[i] : 0;
+          int c = (prev && i >= bpp) ? prev[i - bpp] : 0;
+          int p = a + b - c;
+          int pa = p > a ? p - a : a - p;
+          int pb = p > b ? p - b : b - p;
+          int pc = p > c ? p - c : c - p;
+          int pred = (pa <= pb && pa <= pc) ? a : (pb <= pc ? b : c);
+          cur[i] = (uint8_t)(cur[i] + pred);
+        }
+        break;
+      default:
+        return -2;
+    }
+    prev = cur;
+  }
+  return 0;
+}
+
 int eppm_flo_write(const char* path, const float* data, int h, int w) {
   FILE* f = fopen(path, "wb");
   if (!f) return -1;

@@ -72,10 +72,10 @@ mc = jax.jit(lambda i1, i2, p1, p2: match_coarse(
 tx1, ty1, c1 = mc(levels1[top], levels2[top], packs1[top], packs2[top])
 tx2, ty2, c2 = mc(levels2[top], levels1[top], packs2[top], packs1[top])
 
-timeit("lr_check", lambda *a: lr_check(*a, cfg.refine.lr_diff_thresh),
+timeit("lr_check", lambda *a: lr_check(*a, cfg.lr_thresh),
        tx1, ty1, c1, tx2, ty2, c2)
 tx1, ty1, c1, *_ = jax.jit(
-    lambda *a: lr_check(*a, cfg.refine.lr_diff_thresh)
+    lambda *a: lr_check(*a, cfg.lr_thresh)
 )(tx1, ty1, c1, tx2, ty2, c2)
 timeit("outlier_removal", lambda *a: outlier_removal(*a, cfg.refine),
        tx1, ty1, c1)

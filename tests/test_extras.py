@@ -307,3 +307,88 @@ def test_kitti_flow_roundtrip(tmp_path):
     # 1/64 px quantization
     np.testing.assert_allclose(back[valid], flow[valid], atol=1 / 64 + 1e-6)
     assert (back[~valid] == 0).all()
+
+
+def _write_filtered_png16(path, img):
+    """Encode (H, W, 3) uint16 cycling through all 5 PNG row filters —
+    what libpng-encoded KITTI ground truth actually uses."""
+    import struct
+    import zlib
+
+    from eppm_tpu.io.kitti import _SIG, _chunk
+
+    h, w = img.shape[:2]
+    bpp = 6
+    rows = np.ascontiguousarray(img.astype(">u2")).view(np.uint8)
+    rows = rows.reshape(h, w * bpp)
+    raw = bytearray()
+    prev = np.zeros(w * bpp, np.int32)
+    for y in range(h):
+        ft = y % 5
+        line = rows[y].astype(np.int32)
+        enc = np.empty(w * bpp, np.int32)
+        for i in range(w * bpp):
+            a = line[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) >> 1
+            else:
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            enc[i] = (line[i] - pred) & 0xFF
+        raw.append(ft)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)
+    with open(path, "wb") as f:
+        f.write(_SIG)
+        f.write(_chunk(b"IHDR", ihdr))
+        f.write(_chunk(b"IDAT", zlib.compress(bytes(raw))))
+        f.write(_chunk(b"IEND", b""))
+
+
+def test_kitti_png_all_filters(tmp_path, monkeypatch):
+    """Sub/Up/Average/Paeth scanline filters decode exactly, through both
+    the native C unfilter and the pure-NumPy fallback."""
+    from eppm_tpu.io import native as native_mod
+    from eppm_tpu.io.kitti import read_png16
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 65536, (11, 17, 3), dtype=np.uint16)
+    p = str(tmp_path / "filt.png")
+    _write_filtered_png16(p, img)
+    np.testing.assert_array_equal(read_png16(p), img)
+    monkeypatch.setattr(native_mod, "png_unfilter_native", lambda *a: None)
+    np.testing.assert_array_equal(read_png16(p), img)
+
+
+def test_kitti_png_missing_ihdr(tmp_path):
+    import zlib
+
+    from eppm_tpu.io.kitti import _SIG, _chunk, read_png16
+
+    p = str(tmp_path / "noihdr.png")
+    with open(p, "wb") as f:
+        f.write(_SIG)
+        f.write(_chunk(b"IDAT", zlib.compress(b"\x00" * 7)))
+        f.write(_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="IHDR"):
+        read_png16(p)
+
+
+def test_cli_override_rejects_non_field():
+    """Properties (lr_thresh) are not config fields; the override must
+    fail with a clean message, not an opaque dataclasses TypeError."""
+    from eppm_tpu.cli import apply_overrides
+    from eppm_tpu.config import DEFAULT_CONFIG
+
+    with pytest.raises(SystemExit, match="unknown config field"):
+        apply_overrides(DEFAULT_CONFIG, ["lr_thresh=3"])
