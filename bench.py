@@ -56,13 +56,30 @@ def main() -> None:
     flow = outs[0]
     fps = 1.0 / best
 
-    # sanity: flow must actually explain the motion
+    # sanity gate 1: flow must actually explain the motion (photometric)
     f = flow
     a1 = np.asarray(img1, np.float64) / 255.0
     a2 = np.asarray(img2, np.float64) / 255.0
     we = warp_error(a1, a2, f)
     we0 = warp_error(a1, a2, np.zeros_like(f))
-    if not (np.isfinite(f).all() and we < 0.6 * we0):
+    # sanity gate 2: EPE on a known-ground-truth synthetic warp of the
+    # Grove frame (a photometric gate alone passes any flow that merely
+    # beats zero-flow; this one requires sub-pixel-class accuracy)
+    from eppm_tpu.metrics import flow_error
+
+    gt = np.zeros(f.shape, np.float32)
+    gt[..., 0], gt[..., 1] = 7.0, -4.0
+    h, w = gt.shape[:2]
+    ys, xs = np.mgrid[0:h, 0:w]
+    sy = np.clip(ys + int(gt[0, 0, 1]), 0, h - 1)
+    sx = np.clip(xs + int(gt[0, 0, 0]), 0, w - 1)
+    warped1 = np.asarray(img2)[sy, sx]
+    fsyn = np.asarray(
+        compute_flow_jit(jnp.asarray(warped1), img2, jax.random.PRNGKey(2))
+    )
+    b = 16
+    epe_syn, _ = flow_error(fsyn[b:-b, b:-b], gt[b:-b, b:-b])
+    if not (np.isfinite(f).all() and we < 0.5 * we0 and epe_syn < 1.0):
         print(
             json.dumps(
                 {
@@ -70,7 +87,10 @@ def main() -> None:
                     "value": 0.0,
                     "unit": "frames/sec",
                     "vs_baseline": 0.0,
-                    "error": f"flow quality gate failed: warp {we:.4f} vs zero-flow {we0:.4f}",
+                    "error": (
+                        f"quality gate failed: warp {we:.4f} vs zero-flow "
+                        f"{we0:.4f}, synthetic EPE {epe_syn:.3f}"
+                    ),
                 }
             )
         )

@@ -155,6 +155,48 @@ class MatchConfig:
     # radius 3 measures ~0.05 px better EPE than 2 on every synthetic
     # case for ~8 ms.
     final_radius: int = 3
+    # Exact-cost polish after the warp-approximated sweeps (0 disables):
+    # rescores the (2r+1)^2 neighborhood of the final match with the
+    # *gathered* patch cost (ops/cost.py patch_cost, the PatchMatch
+    # oracle).  The warp-once evaluation is direction-asymmetric (fwd
+    # warps frame 2, bwd warps frame 1), which desynchronizes the
+    # fwd/bwd argmins by +-1 px wherever the true displacement is
+    # fractional at coarse scale; the exact cost is symmetric
+    # (cost(p,q) == cost(q,p)), so this final step restores the strict
+    # left-right consistency the reference engine has
+    # (bao_pmflow_refine_kernel.cu:51 DIFF_THRESH=0) and lets
+    # EPPMConfig.lr_thresh return to 0 for the dense engine.
+    exact_polish_radius: int = 1
+    # Exact-cost jump-flood propagation after the polish: each round
+    # tries the 4 axial neighbors' offsets at the given step distance,
+    # scored with the same gathered cost, kept on strict improvement.
+    # Where the true displacement is fractional at coarse scale, the
+    # per-pixel exact argmins fragment into a salt-and-pepper mix of the
+    # two nearest integers; strictly-improving propagation spreads the
+    # locally cheapest choice into coherent regions — the role
+    # PatchMatch's propagation plays for the reference engine
+    # (bao_pmflow_kernel.cu:979-1181) — which both raises left-right
+    # survival and clusters the survivors.
+    exact_prop_steps: Tuple[int, ...] = (2, 1)
+    # Tap stride of the exact-stage cost (patch radius unchanged).  The
+    # exact scores are only ever COMPARED (polish/propagation argmins and
+    # the returned cost feeds nothing but FLT_MAX bookkeeping), so a
+    # sparser grid than the reference's stride-2 pixel skipping is
+    # admissible; what matters for lr_thresh=0 is that both directions
+    # share one symmetric metric.  4 -> 25 taps vs 100: quarters the
+    # gather volume of the exact stage; measured slightly BETTER EPE
+    # than stride 2/3 on every synthetic case (the sparse grid spans the
+    # same radius with less redundancy).
+    exact_tap_stride: int = 4
+    # Consensus relaxation rounds after exact propagation: the candidate
+    # is the 3x3 median of the offset field, adopted when its exact cost
+    # is EQUAL or better (quantized costs make exact ties common where
+    # the true displacement is fractional; adopting at equality pulls
+    # isolated tie-breaks toward the regional majority without ever
+    # increasing cost).  This reproduces the clustered decision structure
+    # PatchMatch propagation produces, which the downstream outlier
+    # removal + occlusion WMF need to reconstruct occluded regions well.
+    exact_median_rounds: int = 2
     # Global descriptor matching: tap grid and feature scaling.
     desc_radius: int = 8
     desc_tap_stride: int = 4
@@ -185,11 +227,40 @@ class RefineConfig:
     # Outlier removal (defs.h:68, bao_pmflow_refine_kernel.cu:146-147)
     stat_radius: int = 6
     stat_sim_thresh: int = 2
+    # Proportional survival threshold: a pixel survives when its similar
+    # count reaches half the *valid* (in-image, non-invalidated) window
+    # population, max(valid//2, 4), instead of the reference's fixed
+    # (2R+1)^2/2.  Identical to the reference wherever the window is
+    # fully valid; differs where a strict left-right check has
+    # invalidated most of a region (the fixed threshold then also culls
+    # the scattered consistent survivors).  Default False: the fixed
+    # reference threshold measures better on every quality case — its
+    # aggressive pruning of half-valid regions lets the occlusion WMF
+    # reconstruct from coherent clusters — with the collapse guard below
+    # as the safety net.
+    stat_proportional: bool = False
+    # Collapse guard (fixed-threshold mode only): when fixed culling
+    # would leave under this fraction of the previously-valid pixels, the
+    # whole frame switches to the proportional threshold instead — a
+    # per-frame jnp.where, no recompile.  Guards the failure mode where
+    # fwd/bwd integer rounding of a fractional true displacement fails
+    # the strict LR check almost everywhere and fixed culling then wipes
+    # the scattered survivors, collapsing the frame to unknown flow.
+    # 0 disables.
+    stat_collapse_guard: float = 0.1
     # Weighted median filter (defs.h:58-60)
     wmf_radius: int = 4
     wmf_sigma_spatial: float = 4.0
     wmf_sigma_range: float = 0.02
     wmf_coarse_iters: int = 20     # compute_flow .cpp:239 (occlusion-only x20)
+    # Full-image WMF passes after hole filling at the coarse level
+    # (0 disables).  No reference counterpart at the coarse level, but
+    # the reference *intended* a full-image WMF at fine levels (the dead
+    # call at .cpp:281 — see pipeline.py fidelity note); running it once
+    # at the coarse level is the cheapest point to clean the +-1
+    # integer-rounding noise that fractional true displacements leave in
+    # the valid (non-occluded) pixels.
+    wmf_coarse_full_iters: int = 0
     # Post-process joint bilateral flow smoothing
     # (defs.h:64, bao_pmflow_refine_kernel.cu:752-753)
     blf_sigma_spatial: float = 5.0
@@ -237,10 +308,21 @@ class EPPMConfig:
 
     @property
     def lr_thresh(self) -> int:
-        """Effective left-right tolerance (see RefineConfig.lr_diff_thresh)."""
+        """Effective left-right tolerance (see RefineConfig.lr_diff_thresh).
+
+        The reference runs strict (0, bao_pmflow_refine_kernel.cu:51).
+        The dense engine can only afford strict checking when its final
+        match is scored with the symmetric exact cost
+        (MatchConfig.exact_polish_radius); with warp-approximated scores
+        the fwd/bwd argmins carry +-1 px of direction-dependent
+        quantization and strict checking invalidates whole textured
+        regions wherever the true coarse displacement is fractional.
+        """
         if self.refine.lr_diff_thresh is not None:
             return self.refine.lr_diff_thresh
-        return 0 if self.match_engine == "patchmatch" else 1
+        if self.match_engine == "patchmatch":
+            return 0
+        return 0 if self.match.exact_polish_radius > 0 else 1
 
     # Coarse-level matching engine:
     #   "dense"      — global MXU descriptor argmax + dense residual

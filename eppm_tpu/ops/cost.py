@@ -114,6 +114,7 @@ def _patch_cost_offsets(
     offsets2: Sequence[Tuple[int, int]],
     tap_chunk: int,
     pack1_halo: int = 0,
+    gather_dtype=None,
 ) -> jnp.ndarray:
     """Weighted patch cost with per-tap frame-2 offsets ``offsets2``
     (frame-1 offsets are always the regular stride-2 grid).
@@ -137,7 +138,16 @@ def _patch_cost_offsets(
         )
     else:
         pad1 = pack1
-    pack2_flat = pack2.reshape(-1, 4)
+    # Optional narrow gather dtype: the gathers dominate this op's cost
+    # (HBM random access); bf16 halves the bytes moved.  The census
+    # channel (integers 0..255) is exact in bf16; RGB in [0,1] keeps an
+    # 8-bit mantissa.  Used by the match-engine's internal exact stage
+    # (its scores are only compared, symmetrically in both directions);
+    # the default keeps the full-precision reference oracle.
+    if gather_dtype is not None:
+        pack2_flat = pack2.astype(gather_dtype).reshape(-1, 4)
+    else:
+        pack2_flat = pack2.reshape(-1, 4)
 
     lam_ad2 = cfg.lambda_ad * cfg.lambda_ad
     lam_cen2 = (cfg.lambda_census * cfg.census_max_diff) ** 2
@@ -146,14 +156,16 @@ def _patch_cost_offsets(
     txc = jnp.clip(tx, 0, W2 - 1)
     tyc = jnp.clip(ty, 0, H2 - 1)
     center1 = jax.lax.dynamic_slice(pad1, (base, base, 0), (H, W, 4))[..., :3]
-    center2 = jnp.take(pack2_flat, tyc * W2 + txc, axis=0)[..., :3]
+    center2 = jnp.take(pack2_flat, tyc * W2 + txc, axis=0).astype(
+        jnp.float32
+    )[..., :3]
 
     def one_tap(tap, gw):
         dy1, dx1, dy2, dx2 = tap[0], tap[1], tap[2], tap[3]
         p1 = jax.lax.dynamic_slice(pad1, (base + dy1, base + dx1, 0), (H, W, 4))
         cy = jnp.clip(ty + dy2, 0, H2 - 1)
         cx = jnp.clip(tx + dx2, 0, W2 - 1)
-        p2 = jnp.take(pack2_flat, cy * W2 + cx, axis=0)
+        p2 = jnp.take(pack2_flat, cy * W2 + cx, axis=0).astype(jnp.float32)
         ad = _maxabs3(p1[..., :3], p2[..., :3])
         c_ad = 1.0 - jnp.exp(-(ad * ad) / lam_ad2)
         ham = _popcount8(
@@ -190,15 +202,18 @@ def patch_cost(
     cfg: CostConfig = CostConfig(),
     tap_chunk: int = 25,
     pack1_halo: int = 0,
+    gather_dtype=None,
 ) -> jnp.ndarray:
     """Fronto-parallel bilateral AD+census cost (bao_pmflow_kernel.cu:255-301).
 
     pack1/pack2: (H, W, 4) packed frames; tx/ty: (H, W) int32 absolute
     target coordinates (out-of-range targets read clamped pixels, exactly
     like CUDA texture clamp addressing).  Returns (H, W) float32.
+    ``gather_dtype`` narrows the frame-2 gathers (see _patch_cost_offsets).
     """
     return _patch_cost_offsets(
-        pack1, pack2, tx, ty, cfg, cfg.tap_offsets, tap_chunk, pack1_halo
+        pack1, pack2, tx, ty, cfg, cfg.tap_offsets, tap_chunk, pack1_halo,
+        gather_dtype,
     )
 
 

@@ -52,7 +52,30 @@ __all__ = [
     "dense_refine_flow",
     "median3",
     "median3_flow",
+    "center_out_offsets",
 ]
+
+
+def center_out_offsets(radius: int) -> List[Tuple[int, int]]:
+    """(dy, dx) residual candidates ordered center-out: (0,0) first, then
+    by Chebyshev ring and squared distance.
+
+    Why this ordering matters here and not in the reference: argmin ties
+    keep the *first* candidate, and our costs are quantized to a 2^-17
+    grid so cross-compilation argmin decisions agree (ops/dense.py
+    residual_costs) — which makes exact ties common in low-texture
+    regions.  Raster order (reference kernel bao_pmflow_kernel.cu:
+    1990-1999, raw float costs where exact ties are rare) would drift
+    tied pixels toward (-r, -r) every sweep; center-out keeps the
+    smallest update instead."""
+    cands = [
+        (m, n)
+        for m in range(-radius, radius + 1)
+        for n in range(-radius, radius + 1)
+    ]
+    cands.sort(key=lambda c: (max(abs(c[0]), abs(c[1])),
+                              c[0] * c[0] + c[1] * c[1], c))
+    return cands
 
 
 _grid = _grid_util
@@ -265,8 +288,7 @@ def dense_refine_flow(
     if warped2 is None:
         warped2 = warp_pack(pack2, gx, gy, origin)
 
-    r = search_radius
-    cand_offsets = [(m, n) for m in range(-r, r + 1) for n in range(-r, r + 1)]
+    cand_offsets = center_out_offsets(search_radius)
     from .pallas_cost import residual_costs_auto
 
     costs = residual_costs_auto(

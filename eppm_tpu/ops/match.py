@@ -47,7 +47,7 @@ from ..config import CostConfig, MatchConfig
 from .census import census_transform
 from .cost import pack_frame
 from ._util import grid as _grid_util, shift2d as _shift2d_util
-from .dense import median3, residual_costs, warp_pack
+from .dense import center_out_offsets, median3, residual_costs, warp_pack
 from .pallas_cost import residual_costs_auto
 from .resize import bilinear_resize, gaussian_filter
 
@@ -285,11 +285,9 @@ def descend_level(
     h2, w2 = pack2.shape[0], pack2.shape[1]
     gy, gx, ys, xs = _flow_to_targets(flow, h2, w2)
     warped = warp_pack(pack2, gx, gy)
-    cands = [
-        (m, n)
-        for m in range(-radius, radius + 1)
-        for n in range(-radius, radius + 1)
-    ]
+    # center-out: quantized-cost ties keep the current match
+    # (see ops/dense.py center_out_offsets)
+    cands = center_out_offsets(radius)
     costs = residual_costs_auto(pack1, warped, cands, cost_cfg, False, tap_chunk)
     from ..config import FLT_MAX
 
@@ -459,4 +457,103 @@ def match_coarse(
     ysc, xsc = _grid(h, w)
     tx = jnp.trunc(flow[..., 0]).astype(jnp.int32) + xsc
     ty = jnp.trunc(flow[..., 1]).astype(jnp.int32) + ysc
+
+    # --- exact-cost polish (symmetric gathered cost; see MatchConfig) ---
+    if match_cfg.exact_polish_radius > 0:
+        from ..config import FLT_MAX
+        from .cost import patch_cost
+
+        h2, w2 = pack2.shape[0], pack2.shape[1]
+        exact_cfg = dataclasses.replace(
+            cost_cfg, patch_stride=match_cfg.exact_tap_stride
+        )
+
+        def exact(ctx, cty):
+            ck = patch_cost(
+                pack1, pack2, ctx, cty, exact_cfg, tap_chunk,
+                gather_dtype=jnp.bfloat16,
+            )
+            # quantize like the dense scores so cross-compilation argmin
+            # decisions agree (ops/dense.py residual_costs)
+            return jnp.round(ck * 131072.0) * (1.0 / 131072.0)
+
+        def approx_scores(cgys, cgxs):
+            """Batched warp-approximated scores of K offset fields (one
+            multiwarp evaluation, same sparse tap grid as the exact
+            metric so ranks are consistent), out-of-image masked."""
+            a = rescore_multi(pack1, pack2, cgys, cgxs, exact_cfg, tap_chunk)
+            inb = (
+                (xsc[None] + cgxs >= 0) & (xsc[None] + cgxs < w2)
+                & (ysc[None] + cgys >= 0) & (ysc[None] + cgys < h2)
+            )
+            return jnp.where(inb, a, FLT_MAX)
+
+        gx, gy = tx - xsc, ty - ysc
+        cost = exact(tx, ty)  # incumbent, exactly scored
+
+        def try_exact(cgx, cgy, cur, strict=True):
+            """Exact-score one candidate offset field against the
+            incumbent; returns updated (gx, gy, cost)."""
+            gx0, gy0, cost0 = cur
+            ctx, cty = xsc + cgx, ysc + cgy
+            ck = exact(ctx, cty)
+            inb = (ctx >= 0) & (ctx < w2) & (cty >= 0) & (cty < h2)
+            ck = jnp.where(inb, ck, FLT_MAX)
+            win = (ck < cost0) if strict else (ck <= cost0)
+            return (
+                jnp.where(win, cgx, gx0),
+                jnp.where(win, cgy, gy0),
+                jnp.where(win, ck, cost0),
+            )
+
+        # Polish: candidates are the ring around the incumbent.  Exact-
+        # scoring all (2r+1)^2-1 of them costs ~4 ms each in gathers;
+        # instead ONE batched warp-approximated pass ranks them and only
+        # the top-2 per pixel are exact-scored against the exactly-scored
+        # incumbent.  Every accepted move is still an exact-vs-exact
+        # comparison, preserving the fwd/bwd symmetry that lr_thresh=0
+        # depends on; preselection can only miss a candidate whose exact
+        # cost wins while its approximate cost ranks below second — rare,
+        # and measured EPE-neutral.
+        ring = [
+            (m, n) for (m, n) in
+            center_out_offsets(match_cfg.exact_polish_radius)
+            if (m, n) != (0, 0)
+        ]
+        offs = jnp.asarray(ring, jnp.int32)  # (K, 2) as (dy, dx)
+        cgys = gy[None] + offs[:, 0, None, None]
+        cgxs = gx[None] + offs[:, 1, None, None]
+        a = approx_scores(cgys, cgxs)
+        i1 = jnp.argmin(a, axis=0)
+        a2 = jnp.where(
+            jnp.arange(len(ring))[:, None, None] == i1[None], FLT_MAX, a
+        )
+        i2 = jnp.argmin(a2, axis=0)
+        cur = (gx, gy, cost)
+        for idx in (i1, i2):
+            cgx = jnp.take_along_axis(cgxs, idx[None], axis=0)[0]
+            cgy = jnp.take_along_axis(cgys, idx[None], axis=0)[0]
+            cur = try_exact(cgx, cgy, cur)
+        gx, gy, cost = cur
+
+        # Exact-cost propagation (coherence): per step, the 4 neighbor
+        # offsets are approx-ranked in one batch and the winner is
+        # exact-scored (strict improvement keeps the incumbent on ties).
+        for step in match_cfg.exact_prop_steps:
+            shifts = ((0, -step), (0, step), (-step, 0), (step, 0))
+            cgys = jnp.stack([_shift2d(gy, dy, dx) for dy, dx in shifts])
+            cgxs = jnp.stack([_shift2d(gx, dy, dx) for dy, dx in shifts])
+            a = approx_scores(cgys, cgxs)
+            i1 = jnp.argmin(a, axis=0)
+            cgx = jnp.take_along_axis(cgxs, i1[None], axis=0)[0]
+            cgy = jnp.take_along_axis(cgys, i1[None], axis=0)[0]
+            gx, gy, cost = try_exact(cgx, cgy, (gx, gy, cost))
+
+        # Consensus relaxation (tie clustering): equality adopts, pulling
+        # isolated tie-breaks toward the regional majority.
+        for _ in range(match_cfg.exact_median_rounds):
+            gx, gy, cost = try_exact(
+                median3(gx), median3(gy), (gx, gy, cost), strict=False
+            )
+        tx, ty = xsc + gx, ysc + gy
     return tx, ty, cost

@@ -123,6 +123,10 @@ def outlier_removal(
     big = jnp.float32(1e9)
     pox = jnp.pad(ox, r, constant_values=1e9)
     poy = jnp.pad(oy, r, constant_values=1e9)
+    # validity of each neighbor (in-image and not lr-invalidated);
+    # only accumulated on the proportional path
+    vfield = ((tx >= 0) | (ty >= 0)).astype(jnp.float32)
+    pval = jnp.pad(vfield, r, constant_values=0.0)
 
     offs, valid = _window_offsets(r, chunk)
 
@@ -133,19 +137,36 @@ def outlier_removal(
         sim = (jnp.abs(nox - ox) <= cfg.stat_sim_thresh) & (
             jnp.abs(noy - oy) <= cfg.stat_sim_thresh
         )
-        return sim.astype(jnp.float32) * val
+        nv = jax.lax.dynamic_slice(pval, (r + dy, r + dx), (h, w))
+        return sim.astype(jnp.float32) * val, nv * val
 
-    def step(acc, data):
+    def step(carry, data):
+        acc, accv = carry
         off, val = data
-        return acc + jax.vmap(tap)(off, val).sum(0), None
+        s, v = jax.vmap(tap)(off, val)
+        return (acc + s.sum(0), accv + v.sum(0)), None
 
-    count, _ = jax.lax.scan(
+    (count, vcount), _ = jax.lax.scan(
         step,
-        jnp.zeros((h, w), jnp.float32),
+        (jnp.zeros((h, w), jnp.float32), jnp.zeros((h, w), jnp.float32)),
         (jnp.asarray(offs), jnp.asarray(valid)),
     )
     occluded = (tx < 0) & (ty < 0)  # skipped pixels (refine_kernel.cu:156)
-    cull = (~occluded) & (count < cfg.stat_count_thresh)
+    # half the valid window population (== the reference threshold in
+    # fully-valid windows), floored at 4 so isolated pixels still die
+    prop_thresh = jnp.maximum(jnp.floor(vcount / 2.0), 4.0)
+    if cfg.stat_proportional:
+        cull = (~occluded) & (count < prop_thresh)
+    else:
+        cull = (~occluded) & (count < cfg.stat_count_thresh)
+        if cfg.stat_collapse_guard > 0:
+            # per-frame guard: if fixed culling wipes almost every
+            # survivor, fall back to the proportional threshold
+            n_valid = jnp.maximum(jnp.sum(vfield), 1.0)
+            kept = jnp.sum(vfield * (~cull).astype(jnp.float32))
+            collapse = kept / n_valid < cfg.stat_collapse_guard
+            cull_prop = (~occluded) & (count < prop_thresh)
+            cull = jnp.where(collapse, cull_prop, cull)
     inv = jnp.int32(INVALID_LOCATION)
     return (
         jnp.where(cull, inv, tx),

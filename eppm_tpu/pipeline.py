@@ -134,6 +134,11 @@ def compute_flow(
         num_iter=cfg.refine.wmf_coarse_iters, only_occlusion=True,
     )
     tx1, ty1 = fill_holes(tx1, ty1, levels1[top])
+    if cfg.refine.wmf_coarse_full_iters > 0:
+        tx1, ty1 = weighted_median_filter_auto(
+            tx1, ty1, levels1[top], cfg.refine,
+            num_iter=cfg.refine.wmf_coarse_full_iters, only_occlusion=False,
+        )
     flow = nnf_to_flow(tx1, ty1)
 
     # --- coarse-to-fine (.cpp:275-289) ---
@@ -211,6 +216,11 @@ def _coarse_refine_stage(m1, m2, img_top, cfg):
         num_iter=cfg.refine.wmf_coarse_iters, only_occlusion=True,
     )
     tx1, ty1 = fill_holes(tx1, ty1, img_top)
+    if cfg.refine.wmf_coarse_full_iters > 0:
+        tx1, ty1 = weighted_median_filter_auto(
+            tx1, ty1, img_top, cfg.refine,
+            num_iter=cfg.refine.wmf_coarse_full_iters, only_occlusion=False,
+        )
     return nnf_to_flow(tx1, ty1)
 
 
@@ -220,6 +230,10 @@ def _refine_pass_stage(flow, pack1, pack2, cfg, oh, ow, med):
         flow = bilinear_resize(
             flow, oh, ow, 1.0 / cfg.pyramid.ratio
         ) * (1.0 / cfg.pyramid.ratio)
+    if cfg.refine_impl != "dense":
+        return blf_refine_flow(
+            flow, pack1, pack2, cfg.cost, cfg.cost_tap_chunk
+        )
     if med:
         flow = median3_flow(flow)
     return dense_refine_flow(
@@ -231,6 +245,24 @@ def _refine_pass_stage(flow, pack1, pack2, cfg, oh, ow, med):
 @partial(jax.jit, static_argnames=("cfg",))
 def _smooth_stage(flow, img, cfg):
     return flow_smoothing_auto(flow, img, cfg.refine)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _fine_wmf_stage(flow, img, cfg):
+    ftx, fty = flow_to_nnf(flow)
+    ftx, fty = weighted_median_filter_auto(
+        ftx, fty, img, cfg.refine, num_iter=1, only_occlusion=False
+    )
+    return nnf_to_flow(ftx, fty)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _subpixel_stage(flow, lvl1, lvl2, cfg):
+    from .ops.subpixel import subpixel_refine
+
+    return subpixel_refine(
+        flow, lvl1, lvl2, cfg.subpixel, cfg.cost_tap_chunk
+    )
 
 
 # Above this many pixels the pipeline executes as staged programs: on
@@ -247,19 +279,13 @@ def compute_flow_jit(img1, img2, key=None, cfg=DEFAULT_CONFIG,
 
     Single XLA program for typical sizes; staged programs above
     STAGED_PIPELINE_THRESHOLD pixels (see note there).  The staged path
-    covers the default configuration (dense engine, no fine-level WMF /
-    subpixel extras); non-default extras fall back to the one-program
-    path.
+    covers every configuration — both match engines, both refine
+    implementations, fine-level WMF and subpixel refinement — so no
+    option routes large inputs into the faulting one-program path.
     """
     h = img1.shape[0]
     w = img1.shape[1]
-    default_shape = (
-        cfg.match_engine == "dense"
-        and cfg.refine_impl == "dense"
-        and not fine_level_wmf
-        and not cfg.subpixel_refine
-    )
-    if h * w <= STAGED_PIPELINE_THRESHOLD or not default_shape:
+    if h * w <= STAGED_PIPELINE_THRESHOLD:
         return _compute_flow_one_program(img1, img2, key, cfg, fine_level_wmf)
     if key is None:
         key = jax.random.PRNGKey(cfg.seed)
@@ -279,11 +305,16 @@ def compute_flow_jit(img1, img2, key=None, cfg=DEFAULT_CONFIG,
         flow = _refine_pass_stage(
             flow, packs1[lvl], packs2[lvl], cfg, oh, ow, False
         )
-        for _ in range(cfg.dense_refine_passes - 1):
-            flow = _refine_pass_stage(
-                flow, packs1[lvl], packs2[lvl], cfg, oh, ow, True
-            )
+        if cfg.refine_impl == "dense":
+            for _ in range(cfg.dense_refine_passes - 1):
+                flow = _refine_pass_stage(
+                    flow, packs1[lvl], packs2[lvl], cfg, oh, ow, True
+                )
         flow = _smooth_stage(flow, levels1[lvl], cfg)
+        if fine_level_wmf:
+            flow = _fine_wmf_stage(flow, levels1[lvl], cfg)
+    if cfg.subpixel_refine:
+        flow = _subpixel_stage(flow, levels1[0], levels2[0], cfg)
     return _smooth_stage(flow, levels1[0], cfg)
 
 
@@ -319,7 +350,13 @@ class EPPMFlow:
         self._img1, self._img2 = img1, img2
         return self
 
-    def compute_flow(self, key: Optional[jax.Array] = None) -> jnp.ndarray:
+    def compute_flow(
+        self,
+        key: Optional[jax.Array] = None,
+        fine_level_wmf: bool = False,
+    ) -> jnp.ndarray:
         if self._img1 is None:
             raise RuntimeError("set_data() must be called before compute_flow()")
-        return compute_flow_jit(self._img1, self._img2, key, self.cfg)
+        return compute_flow_jit(
+            self._img1, self._img2, key, self.cfg, fine_level_wmf
+        )

@@ -165,3 +165,46 @@ def test_staged_pipeline_matches_one_program(rng, monkeypatch):
     d = np.abs(staged - one).max(axis=-1)
     assert (d < 1e-3).mean() > 0.9
     assert float(np.mean(d)) < 0.2
+
+
+@pytest.mark.parametrize(
+    "variant",
+    ["patchmatch", "gather", "fine_wmf", "subpixel"],
+)
+def test_staged_pipeline_all_variants(rng, monkeypatch, variant):
+    """Every non-default option must run through the staged path (at
+    1080p+ the one-program path faults the TPU worker; the staged path
+    is the only safe route, so it must cover all variants)."""
+    import dataclasses
+
+    import eppm_tpu.pipeline as P
+
+    cfg = _test_cfg()
+    fine_wmf = False
+    if variant == "patchmatch":
+        cfg = dataclasses.replace(cfg, match_engine="patchmatch")
+    elif variant == "gather":
+        cfg = dataclasses.replace(cfg, refine_impl="gather")
+    elif variant == "subpixel":
+        cfg = dataclasses.replace(cfg, subpixel_refine=True)
+    elif variant == "fine_wmf":
+        fine_wmf = True
+    h, w = 48, 64
+    img2 = _textured(rng, h, w)
+    img1 = np.roll(img2, (-3, -2), axis=(1, 0))
+    key = jax.random.PRNGKey(cfg.seed)
+    one = np.asarray(
+        P.compute_flow_jit(
+            jnp.asarray(img1), jnp.asarray(img2), key, cfg, fine_wmf
+        )
+    )
+    monkeypatch.setattr(P, "STAGED_PIPELINE_THRESHOLD", 0)
+    staged = np.asarray(
+        P.compute_flow_jit(
+            jnp.asarray(img1), jnp.asarray(img2), key, cfg, fine_wmf
+        )
+    )
+    d = np.abs(staged - one).max(axis=-1)
+    assert np.isfinite(staged).all()
+    assert (d < 1e-3).mean() > 0.9, f"{variant}: {(d < 1e-3).mean():.2%}"
+    assert float(np.mean(d)) < 0.25, f"{variant}: mean {np.mean(d):.3f}"

@@ -105,7 +105,8 @@ def oracle_outlier(tx, ty, cost, cfg):
 
 
 def test_outlier_removal_matches_oracle(rng):
-    cfg = RefineConfig(stat_radius=2)
+    # stat_proportional=False: bit-faithful reference semantics
+    cfg = RefineConfig(stat_radius=2, stat_proportional=False)
     h, w = 12, 14
     ys, xs = np.mgrid[0:h, 0:w]
     # mostly-constant field with a few outliers
@@ -122,6 +123,62 @@ def test_outlier_removal_matches_oracle(rng):
     want = oracle_outlier(tx, ty, cost, cfg)
     for g, wv in zip(got, want):
         np.testing.assert_array_equal(np.asarray(g), wv)
+
+
+def oracle_outlier_proportional(tx, ty, cost, cfg):
+    """Proportional variant: survive when similar >= max(valid//2, 4)."""
+    h, w = tx.shape
+    r, sim = cfg.stat_radius, cfg.stat_sim_thresh
+    otx, oty, oc = tx.copy(), ty.copy(), cost.copy()
+    for y in range(h):
+        for x in range(w):
+            if tx[y, x] < 0 and ty[y, x] < 0:
+                continue
+            cu, cv = tx[y, x] - x, ty[y, x] - y
+            count = 0
+            nvalid = 0
+            for dy in range(-r, r + 1):
+                for dx in range(-r, r + 1):
+                    cy, cx = y + dy, x + dx
+                    if cx < 0 or cy < 0 or cx >= w or cy >= h:
+                        continue
+                    if not (tx[cy, cx] < 0 and ty[cy, cx] < 0):
+                        nvalid += 1
+                    nu, nv = tx[cy, cx] - cx, ty[cy, cx] - cy
+                    if abs(nu - cu) <= sim and abs(nv - cv) <= sim:
+                        count += 1
+            if count < max(nvalid // 2, 4):
+                otx[y, x] = oty[y, x] = INVALID_LOCATION
+                oc[y, x] = FLT_MAX
+    return otx, oty, oc
+
+
+def test_outlier_removal_proportional_matches_oracle(rng):
+    cfg = RefineConfig(stat_radius=2, stat_proportional=True)
+    h, w = 12, 14
+    ys, xs = np.mgrid[0:h, 0:w]
+    tx = (xs + 3).astype(np.int32)
+    ty = (ys + 1).astype(np.int32)
+    # sprinkle outliers and a large invalidated region (the scattered-
+    # survivor scenario the proportional threshold exists for)
+    for _ in range(6):
+        y, x = rng.integers(0, h), rng.integers(0, w)
+        tx[y, x] = rng.integers(0, w)
+        ty[y, x] = rng.integers(0, h)
+    mask = rng.random((h, w)) < 0.7
+    tx = np.where(mask, INVALID_LOCATION, tx).astype(np.int32)
+    ty = np.where(mask, INVALID_LOCATION, ty).astype(np.int32)
+    cost = rng.random((h, w)).astype(np.float32)
+    got = outlier_removal(
+        jnp.asarray(tx), jnp.asarray(ty), jnp.asarray(cost), cfg
+    )
+    want = oracle_outlier_proportional(tx, ty, cost, cfg)
+    for g, wv in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), wv)
+    # sanity: scattered consistent survivors are NOT wiped (the fixed
+    # threshold would cull them all)
+    surv = (np.asarray(got[0]) != INVALID_LOCATION) & ~mask
+    assert surv.sum() > 0
 
 
 # ---------- weighted median filter ----------
