@@ -48,22 +48,41 @@ def halo_exchange_1d(
     size = tile.shape[dim]
     K = -(-halo // size)  # hops needed
 
-    parts = []
-    for k in range(K, 0, -1):  # farthest prev first
-        perm = [(i, i + k) for i in range(n - k)]
-        parts.append(
-            jax.lax.ppermute(tile, axis_name, perm) if perm
-            else jnp.zeros_like(tile)
+    if K == 1 and halo < size:
+        # Common case: exchange only the halo STRIPS, not whole tiles —
+        # traffic proportional to the tile boundary (halo*edge), not its
+        # area.  This is what makes multi-chip scaling efficiency
+        # boundary-limited (tools/comm_model.py accounts for it).
+        perm_fwd = [(i, i + 1) for i in range(n - 1)]
+        perm_bwd = [(i + 1, i) for i in range(n - 1)]
+        lo_strip = _take1(tile, size - halo, halo, dim)  # to next shard
+        hi_strip = _take1(tile, 0, halo, dim)            # to prev shard
+        prev_part = (
+            jax.lax.ppermute(lo_strip, axis_name, perm_fwd)
+            if perm_fwd else jnp.zeros_like(lo_strip)
         )
-    parts.append(tile)
-    for k in range(1, K + 1):
-        perm = [(i + k, i) for i in range(n - k)]
-        parts.append(
-            jax.lax.ppermute(tile, axis_name, perm) if perm
-            else jnp.zeros_like(tile)
+        next_part = (
+            jax.lax.ppermute(hi_strip, axis_name, perm_bwd)
+            if perm_bwd else jnp.zeros_like(hi_strip)
         )
-    ext = jnp.concatenate(parts, axis=dim)
-    ext = _take1(ext, K * size - halo, size + 2 * halo, dim)
+        ext = jnp.concatenate([prev_part, tile, next_part], axis=dim)
+    else:
+        parts = []
+        for k in range(K, 0, -1):  # farthest prev first
+            perm = [(i, i + k) for i in range(n - k)]
+            parts.append(
+                jax.lax.ppermute(tile, axis_name, perm) if perm
+                else jnp.zeros_like(tile)
+            )
+        parts.append(tile)
+        for k in range(1, K + 1):
+            perm = [(i + k, i) for i in range(n - k)]
+            parts.append(
+                jax.lax.ppermute(tile, axis_name, perm) if perm
+                else jnp.zeros_like(tile)
+            )
+        ext = jnp.concatenate(parts, axis=dim)
+        ext = _take1(ext, K * size - halo, size + 2 * halo, dim)
 
     # fill positions beyond the global array (zeros from missing links)
     shape = [1] * tile.ndim

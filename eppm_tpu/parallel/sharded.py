@@ -64,7 +64,9 @@ from ..ops.resize import bilinear_resize
 from ..pipeline import prepare_pyramids
 from .halo import halo_exchange_2d
 
-__all__ = ["make_mesh", "check_tileable", "compute_flow_sharded"]
+__all__ = [
+    "make_mesh", "check_tileable", "pad_to_tileable", "compute_flow_sharded",
+]
 
 
 def make_mesh(
@@ -95,6 +97,24 @@ def check_tileable(h: int, w: int, cfg: EPPMConfig, ny: int, nx: int) -> None:
                     f"{lh}x{lw} -> {nh}x{nw} (pad inputs to a multiple of "
                     f"{2 ** (len(dims) - 1)})"
                 )
+
+
+def pad_to_tileable(
+    h: int, w: int, cfg: EPPMConfig, ny: int, nx: int
+) -> Tuple[int, int]:
+    """Smallest (H, W) >= (h, w) that ``check_tileable`` accepts.
+
+    With the truncating level solver (PyramidConfig.level_dims), a
+    dimension that is a multiple of ``2^(depth-1) * n`` halves exactly at
+    every level and every level stays divisible by the mesh axis, so the
+    padded shape satisfies both tileability conditions.  Covers the
+    arbitrary-resolution BASELINE configs (KITTI 1242x375 etc.) that no
+    power-of-two constraint fits.
+    """
+    d = max(cfg.pyramid.max_depth, 1)
+    qy = ny * 2 ** (d - 1)
+    qx = nx * 2 ** (d - 1)
+    return (-(-h // qy)) * qy, (-(-w // qx)) * qx
 
 
 def _slice_tile_haloed(full, y0, x0, th, tw, halo, mode="edge"):
@@ -161,6 +181,11 @@ def _pair_flow_tiled(img1, img2, key, cfg: EPPMConfig, ny: int, nx: int):
         num_iter=cfg.refine.wmf_coarse_iters, only_occlusion=True,
     )
     tx1, ty1 = fill_holes(tx1, ty1, levels1[top])
+    if cfg.refine.wmf_coarse_full_iters > 0:
+        tx1, ty1 = weighted_median_filter_auto(
+            tx1, ty1, levels1[top], cfg.refine,
+            num_iter=cfg.refine.wmf_coarse_full_iters, only_occlusion=False,
+        )
     flow_full = nnf_to_flow(tx1, ty1)  # replicated coarse flow
 
     # ---- fine levels: sharded over (y, x) with ppermute halo exchange ----
@@ -283,20 +308,39 @@ def compute_flow_sharded(
     mesh: Mesh,
     cfg: EPPMConfig = DEFAULT_CONFIG,
     keys: Optional[jnp.ndarray] = None,
+    pad_to_fit: bool = True,
 ) -> jnp.ndarray:
     """Dense flow for a batch of pairs, sharded over ``mesh``.
 
-    imgs1/imgs2: (B, H, W, 3); B divisible by mesh 'batch', each pyramid
-    level divisible by mesh ('y', 'x').  Returns (B, H, W, 2) flow laid
-    out with sharding P('batch', 'y', 'x').
+    imgs1/imgs2: (B, H, W, 3); B divisible by mesh 'batch'.  Returns
+    (B, H, W, 2) flow laid out with sharding P('batch', 'y', 'x').
+
+    Arbitrary resolutions: when (H, W) is not tileable over the mesh
+    (``check_tileable``), the frames are edge-padded bottom/right to
+    ``pad_to_tileable`` dims, computed, and the flow cropped back.
+    Pixels within a patch radius of the bottom/right border then see
+    replicated-edge texture instead of the clamp-at-border reads of an
+    unpadded run — the same class of boundary approximation the
+    reference's texture clamping already makes.  ``pad_to_fit=False``
+    restores the strict behavior (raise on non-tileable shapes).
     """
     B, h, w = imgs1.shape[0], imgs1.shape[1], imgs1.shape[2]
     nb = mesh.shape["batch"]
+    ny, nx = mesh.shape["y"], mesh.shape["x"]
     if B % nb:
         raise ValueError(f"batch {B} not divisible by mesh batch {nb}")
-    check_tileable(h, w, cfg, mesh.shape["y"], mesh.shape["x"])
+    try:
+        check_tileable(h, w, cfg, ny, nx)
+    except ValueError:
+        if not pad_to_fit:
+            raise
+        ph, pw = pad_to_tileable(h, w, cfg, ny, nx)
+        pad = ((0, 0), (0, ph - h), (0, pw - w), (0, 0))
+        imgs1 = jnp.pad(imgs1, pad, mode="edge")
+        imgs2 = jnp.pad(imgs2, pad, mode="edge")
     if keys is None:
         keys = jax.vmap(jax.random.fold_in, (None, 0))(
             jax.random.PRNGKey(cfg.seed), jnp.arange(B)
         )
-    return _compute_flow_sharded_jit(imgs1, imgs2, keys, cfg, mesh)
+    out = _compute_flow_sharded_jit(imgs1, imgs2, keys, cfg, mesh)
+    return out[:, :h, :w]
