@@ -23,8 +23,12 @@ from eppm_tpu.pipeline import prepare_pyramids, compute_flow
 from eppm_tpu.ops.match import match_coarse
 from eppm_tpu.ops.dense import dense_refine_flow, median3_flow
 from eppm_tpu.ops.refine import (
-    fill_holes, flow_smoothing, lr_check, nnf_to_flow, outlier_removal,
-    weighted_median_filter,
+    fill_holes, lr_check, nnf_to_flow, outlier_removal,
+)
+# the pipeline's dispatchers (Pallas kernel when applicable, XLA otherwise)
+from eppm_tpu.ops.pallas_smooth import flow_smoothing_auto as flow_smoothing
+from eppm_tpu.ops.pallas_wmf import (
+    weighted_median_filter_auto as weighted_median_filter,
 )
 from eppm_tpu.ops.resize import bilinear_resize
 
@@ -49,8 +53,18 @@ def timeit(name, fn, *args, n=5):
     print(f"{name:44s} {min(ts)*1000:9.1f} ms", flush=True)
 
 
-img1 = jnp.asarray(read_ppm("/root/reference/frame10.ppm"))
-img2 = jnp.asarray(read_ppm("/root/reference/frame11.ppm"))
+if len(sys.argv) > 1:  # profile_stages.py HxW -> synthetic pair
+    h, w = (int(v) for v in sys.argv[1].split("x"))
+    rng = np.random.default_rng(0)
+    small = rng.random((h // 8 + 2, w // 8 + 2, 3)).astype(np.float32)
+    base = np.asarray(jax.image.resize(
+        jnp.asarray(small), (h, w, 3), "linear"))
+    img2 = jnp.asarray(np.clip(base + 0.1 * rng.random((h, w, 3)), 0, 1))
+    img1 = jnp.asarray(np.roll(np.asarray(img2), (-5, -3), axis=(1, 0)))
+    print(f"synthetic {h}x{w}")
+else:
+    img1 = jnp.asarray(read_ppm("/root/reference/frame10.ppm"))
+    img2 = jnp.asarray(read_ppm("/root/reference/frame11.ppm"))
 
 timeit("noop scalar (tunnel floor)", lambda a: a[0, 0, 0], img1)
 timeit("prepare_pyramids", lambda a: prepare_pyramids(a, cfg)[1], img1)
@@ -121,6 +135,21 @@ for lvl in range(top - 1, -1, -1):
 timeit("flow_smoothing final L0",
        lambda f, i: flow_smoothing(f, i, cfg.refine), flow, levels1[0])
 
-timeit("FULL compute_flow", lambda a, b: compute_flow(a, b, cfg=cfg),
-       img1, img2)
+if img1.shape[0] * img1.shape[1] <= 1_000_000:
+    timeit("FULL compute_flow", lambda a, b: compute_flow(a, b, cfg=cfg),
+           img1, img2)
+else:
+    # >1M px: one monolithic module faults the worker (PERF.md); time the
+    # staged entry point with a tiny readback to force completion
+    from eppm_tpu.pipeline import compute_flow_jit
+
+    f = compute_flow_jit(img1, img2)
+    np.asarray(f[:1, :1])
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        f = compute_flow_jit(img1, img2)
+        np.asarray(f[:1, :1])
+        ts.append(time.perf_counter() - t0)
+    print(f"{'FULL compute_flow_jit (staged)':44s} {min(ts)*1000:9.1f} ms")
 print("done")
