@@ -44,10 +44,33 @@ class PyramidConfig:
     # bao_pyr_init_dim overload); the default pipeline derives depth from
     # max_depth exactly as the reference binary does.
     min_width: int = 20
+    # Auto-deepening cap: extra levels beyond max_depth while the
+    # coarsest level's min dimension still exceeds this (0 disables).
+    # The reference's fixed depth 3 was tuned for its hardcoded 640x480
+    # (coarse 160x120, main.cpp:38); at 1080p that leaves a 480x270
+    # coarse level where the match engine + occlusion WMF burn ~60% of
+    # the frame.  Capping the coarse level at ~160 px reproduces the
+    # reference's coarse-size philosophy at every input size (and is the
+    # reference's own min-width bao_pyr_init_dim overload in spirit,
+    # basic/bao_basic.h:179-198).  640x480-class inputs are unaffected
+    # (depth stays 3); search coverage at full resolution grows with the
+    # extra levels, which large-displacement 1080p+ content needs anyway.
+    auto_depth_dim: int = 160
     # Pre-smoothing before pyramid construction
     # (bao_pmflow_refine_kernel.cu:1063-1064: sigma=0.5, radius=2).
     presmooth_sigma: float = 0.5
     presmooth_radius: int = 2
+
+    def depth(self, h: int, w: int) -> int:
+        """Effective depth: max_depth, auto-deepened for large inputs
+        (see auto_depth_dim)."""
+        d = max(self.max_depth, 1)
+        if self.auto_depth_dim > 0:
+            while (
+                int(min(h, w) * self.ratio ** (d - 1)) > self.auto_depth_dim
+            ):
+                d += 1
+        return d
 
     def level_dims(self, h: int, w: int) -> Tuple[Tuple[int, int], ...]:
         """Per-level (h, w), level 0 = full resolution.
@@ -59,7 +82,7 @@ class PyramidConfig:
         """
         return tuple(
             (int(h * self.ratio**i), int(w * self.ratio**i))
-            for i in range(max(self.max_depth, 1))
+            for i in range(self.depth(h, w))
         )
 
     def level_dims_min_width(self, h: int, w: int) -> Tuple[Tuple[int, int], ...]:

@@ -207,11 +207,14 @@ def rescore_multi(
     from ._util import on_tpu
     from .pallas_cost import residual_costs_multiwarp_pallas
 
-    # Size-gated: the wide (4K-channel) windows destabilize this TPU
-    # runtime when the multiwarp kernel sits inside a large module
-    # (1080p-coarse match stage faults; standalone it runs clean).  At
-    # big levels the proven single-warp path is used instead.
-    if on_tpu() and h * w <= 50_000:
+    # Size gate history: in round 1 (100-tap tables) the multiwarp
+    # kernel inside the 1080p match module faulted the TPU worker, so it
+    # was held to <=50k px.  With the round-2 49-tap tables the full
+    # 1080p match stage with this kernel passes in isolation (probed
+    # 2026-08-17, tools/fault_repro.py history) — the gate now admits
+    # 1080p-coarse (130k px); 4K-coarse (518k) keeps the proven
+    # single-warp path until probed.
+    if on_tpu() and h * w <= 200_000:
         return residual_costs_multiwarp_pallas(pack1, warped, cost_cfg)
     eval_one = lambda wp: residual_costs_auto(
         pack1, wp, [(0, 0)], cost_cfg, False, tap_chunk

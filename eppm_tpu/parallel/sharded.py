@@ -109,12 +109,19 @@ def pad_to_tileable(
     every level and every level stays divisible by the mesh axis, so the
     padded shape satisfies both tileability conditions.  Covers the
     arbitrary-resolution BASELINE configs (KITTI 1242x375 etc.) that no
-    power-of-two constraint fits.
+    power-of-two constraint fits.  Iterates because padding can itself
+    raise the auto-deepened effective depth (PyramidConfig.depth).
     """
-    d = max(cfg.pyramid.max_depth, 1)
-    qy = ny * 2 ** (d - 1)
-    qx = nx * 2 ** (d - 1)
-    return (-(-h // qy)) * qy, (-(-w // qx)) * qx
+    ph, pw = h, w
+    for _ in range(4):  # depth(h, w) is monotone in (h, w); converges fast
+        d = cfg.pyramid.depth(ph, pw)
+        qy = ny * 2 ** (d - 1)
+        qx = nx * 2 ** (d - 1)
+        nph, npw = (-(-h // qy)) * qy, (-(-w // qx)) * qx
+        if (nph, npw) == (ph, pw) and cfg.pyramid.depth(nph, npw) == d:
+            break
+        ph, pw = nph, npw
+    return ph, pw
 
 
 def _slice_tile_haloed(full, y0, x0, th, tw, halo, mode="edge"):

@@ -1,16 +1,21 @@
 #!/usr/bin/env python
-"""Minimal reproducer for the multi-heavy-subgraph TPU worker fault.
+"""Minimal reproducer for the heavyweight-module TPU worker fault.
 
-Observed on this runtime (TPU v5e, axon): an XLA module that contains TWO
-heavyweight stencil subgraphs at 1080p-class sizes (two chained
-dense-refine passes, or two coarse matchers) crashes the TPU worker
-process ("TPU worker process crashed"), while each subgraph runs clean as
-its own program.  This is why eppm_tpu/pipeline.py stages the pipeline
-into per-pass programs above STAGED_PIPELINE_THRESHOLD pixels.
+Observed on this runtime (TPU v5e, axon): an XLA module containing the
+FULL monolithic 1080p pipeline crashes the TPU worker process ("TPU
+worker process crashed ... kernel fault"), while the same stages run
+clean as separate programs.  This is why eppm_tpu/pipeline.py stages the
+pipeline into per-pass programs above STAGED_PIPELINE_THRESHOLD pixels.
+
+History: in round 1 (100-tap stride-2 cost) TWO chained 1080p refine
+passes in one module were enough to fault; with the round-2 49-tap
+subgraphs that pair PASSES (verified 2026-08-17) and the smallest known
+repro is the full monolithic pipeline module — the fault tracks total
+module weight, not any single stage.
 
 Each case runs in a SUBPROCESS so a worker crash is contained and the
-harness can report PASS/FAULT per case.  Binary-searches the size
-boundary when --search is given.
+harness can report PASS/FAULT per case.  Binary-searches the refine-pass
+count boundary when --search is given.
 
 Usage:  python tools/fault_repro.py [--search]
 """
@@ -57,9 +62,35 @@ CASE_SRC = textwrap.dedent(
     """
 )
 
+FULL_SRC = textwrap.dedent(
+    """
+    import sys
+    sys.path.insert(0, {root!r})
+    import numpy as np
+    import jax, jax.numpy as jnp
+    import eppm_tpu.pipeline as P
+    from eppm_tpu.config import DEFAULT_CONFIG
 
-def run_case(h, w, n_passes, timeout=900):
-    src = CASE_SRC.format(root=ROOT, h=h, w=w, n_passes=n_passes)
+    h, w = {h}, {w}
+    rng = np.random.default_rng(0)
+    small = rng.random((h // 8 + 2, w // 8 + 2, 3)).astype(np.float32)
+    img = np.clip(np.asarray(jax.image.resize(
+        jnp.asarray(small), (h, w, 3), "linear")), 0, 1)
+    img1 = jnp.asarray(np.roll(img, (-5, -3), axis=(1, 0)))
+    img2 = jnp.asarray(img)
+    f = P._compute_flow_one_program(
+        img1, img2, jax.random.PRNGKey(0), DEFAULT_CONFIG, False
+    )
+    print("RESULT", float(jnp.sum(f)))
+    """
+)
+
+
+def run_case(h, w, n_passes, timeout=2400):
+    if n_passes == "full":
+        src = FULL_SRC.format(root=ROOT, h=h, w=w)
+    else:
+        src = CASE_SRC.format(root=ROOT, h=h, w=w, n_passes=n_passes)
     try:
         p = subprocess.run(
             [sys.executable, "-c", src], capture_output=True, text=True,
@@ -80,9 +111,11 @@ def main():
     args = ap.parse_args()
 
     cases = [
-        ("1080p, 1 refine pass (control)", 1080, 1920, 1),
-        ("1080p, 2 refine passes (repro)", 1080, 1920, 2),
-        ("540p, 2 refine passes (control)", 540, 960, 2),
+        ("1080p, 2 refine passes (round-1 repro; now passes)",
+         1080, 1920, 2),
+        ("1080p, FULL monolithic pipeline (current repro)",
+         1080, 1920, "full"),
+        ("540p, FULL monolithic pipeline (control)", 540, 960, "full"),
     ]
     for name, h, w, n in cases:
         status, detail = run_case(h, w, n)
