@@ -146,6 +146,10 @@ def main(argv: Optional[List[str]] = None) -> int:
                         "+ pipelined device dispatch")
     p.add_argument("--out-dir", metavar="DIR",
                    help="directory for streamed .flo outputs")
+    p.add_argument("--exact-readback", action="store_true",
+                   help="stream mode: fetch flow as float32 instead of the "
+                        "default 1/64-px int16 fixed point (half the "
+                        "device->host bytes; quantization error <= 1/128 px)")
     p.add_argument("--eval-dir", metavar="DIR",
                    help="evaluate every sequence directory under DIR")
     p.add_argument("--pattern", default="frame10.ppm,frame11.ppm,flow10.flo",
@@ -181,32 +185,59 @@ def main(argv: Optional[List[str]] = None) -> int:
             os.makedirs(args.out_dir, exist_ok=True)
 
         # bounded memory: decode frames in chunks, keep a small window of
-        # in-flight device computations (async dispatch pipelines the
-        # device behind host fetch + .flo writes)
+        # in-flight device computations; a drain thread fetches finished
+        # flows so device->host readback (the tunnel bottleneck at 1080p+)
+        # overlaps the next pair's upload + compute.  Readback defaults to
+        # 1/64-px int16 fixed point — half the bytes of float32, error
+        # bounded by 1/128 px (below the .flo metric quantum).
+        import queue as _queue
+        import threading
+
         CHUNK = 32
         WINDOW = 4
         n_pairs = len(paths) - 1
-        pending = []  # (name, device flow)
+        exact = args.exact_readback
 
-        def drain(limit):
-            while len(pending) > limit:
-                name, fl = pending.pop(0)
-                out = np.asarray(fl)
-                if args.out_dir:
-                    write_flo(
-                        os.path.join(
-                            args.out_dir,
-                            os.path.splitext(name)[0] + ".flo",
-                        ),
-                        out,
-                    )
+        @jax.jit
+        def _q16(f):
+            return jnp.clip(
+                jnp.round(f * 64.0), -32768.0, 32767.0
+            ).astype(jnp.int16)
+
+        fetch_q: "_queue.Queue" = _queue.Queue(maxsize=WINDOW)
+        drain_err = []
+
+        def _drain_worker():
+            while True:
+                item = fetch_q.get()
+                if item is None:
+                    return
+                name, fl = item
+                try:
+                    out = np.asarray(fl)
+                    if not exact:
+                        out = out.astype(np.float32) * (1.0 / 64.0)
+                    if args.out_dir:
+                        write_flo(
+                            os.path.join(
+                                args.out_dir,
+                                os.path.splitext(name)[0] + ".flo",
+                            ),
+                            out,
+                        )
+                except Exception as e:  # surfaced after the loop
+                    drain_err.append(e)
+
+        drainer = threading.Thread(target=_drain_worker, daemon=True)
+        drainer.start()
 
         prev = None
         # warm-up compile on the first pair
         first = read_ppm_batch(paths[:2])
-        _ = np.asarray(compute_flow_jit(
+        warm = compute_flow_jit(
             jnp.asarray(first[0]), jnp.asarray(first[1]), None, cfg
-        ))
+        )
+        _ = np.asarray(warm if exact else _q16(warm))
         t0 = time.perf_counter()
         for start in range(0, len(paths), CHUNK):
             frames = read_ppm_batch(paths[start : start + CHUNK])
@@ -215,10 +246,14 @@ def main(argv: Optional[List[str]] = None) -> int:
                 if prev is not None:
                     idx = start + k - 1
                     fl = compute_flow_jit(prev, cur, None, cfg)
-                    pending.append((names[idx], fl))
-                    drain(WINDOW)
+                    fetch_q.put(
+                        (names[idx], fl if exact else _q16(fl))
+                    )
                 prev = cur
-        drain(0)
+        fetch_q.put(None)
+        drainer.join()
+        if drain_err:
+            raise drain_err[0]
         dt = time.perf_counter() - t0
         print(json.dumps({
             "frames": len(names),

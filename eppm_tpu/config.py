@@ -389,6 +389,14 @@ class EPPMConfig:
     # iterative-warping stabilization (the reference has no equivalent),
     # where fronto-only costs measure equal quality at 3.5x less work.
     dense_pass2_planes: bool = False
+    # Plane-fitting hypotheses in pass 1 (the reference re-search,
+    # bao_pmflow_kernel.cu:334-513, always evaluates all 4).  Measured on
+    # the full synthetic sweep + Grove: fronto-only pass 1 is EPE-neutral
+    # (mean 0.350 vs 0.349; Grove warp error 7.695 vs 7.713/255) at 4x
+    # less arithmetic in the dominant fine-level stage — the +-1
+    # re-search is too local for the affine hypotheses to change the
+    # argmin.  Set True to restore the reference's exact search space.
+    dense_pass1_planes: bool = False
 
 
 DEFAULT_CONFIG = EPPMConfig()

@@ -256,7 +256,7 @@ def _pair_flow_tiled(img1, img2, key, cfg: EPPMConfig, ny: int, nx: int):
                 ext = dense_refine_flow(
                     fh, p1h, packs2[lvl], cfg.cost,
                     cfg.dense_search_radius,
-                    cfg.dense_pass2_planes if med else True,
+                    cfg.dense_pass2_planes if med else cfg.dense_pass1_planes,
                     cfg.cost_tap_chunk, origin=(y0 - G, x0 - G),
                 )
                 return ext[G:-G, G:-G]

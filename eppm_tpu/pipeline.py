@@ -149,7 +149,8 @@ def compute_flow(
         if cfg.refine_impl == "dense":
             flow = dense_refine_flow(
                 flow, packs1[lvl], packs2[lvl], cfg.cost,
-                cfg.dense_search_radius, True, cfg.cost_tap_chunk,
+                cfg.dense_search_radius, cfg.dense_pass1_planes,
+                cfg.cost_tap_chunk,
             )
             for _ in range(cfg.dense_refine_passes - 1):
                 flow = dense_refine_flow(
@@ -238,7 +239,8 @@ def _refine_pass_stage(flow, pack1, pack2, cfg, oh, ow, med):
         flow = median3_flow(flow)
     return dense_refine_flow(
         flow, pack1, pack2, cfg.cost, cfg.dense_search_radius,
-        cfg.dense_pass2_planes if med else True, cfg.cost_tap_chunk,
+        cfg.dense_pass2_planes if med else cfg.dense_pass1_planes,
+        cfg.cost_tap_chunk,
     )
 
 

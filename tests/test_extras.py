@@ -292,6 +292,20 @@ def test_cli_stream_mode(tmp_path, rng):
     assert len(flows) == 2
     f = read_flo(str(flows[0]))
     assert f.shape == (48, 64, 2) and np.isfinite(f).all()
+    # default readback is 1/64-px int16 fixed point
+    np.testing.assert_array_equal(f * 64.0, np.round(f * 64.0))
+
+    exact_dir = tmp_path / "flows_exact"
+    rc = cli_main([
+        "--frames-dir", str(frames_dir), "--out-dir", str(exact_dir),
+        "--exact-readback",
+        "--set", "pyramid.max_depth=2",
+        "--set", "refine.wmf_coarse_iters=2",
+    ])
+    assert rc == 0
+    fe = read_flo(str(sorted(exact_dir.iterdir())[0]))
+    # quantized path within half a quantum of the exact path
+    np.testing.assert_allclose(f, fe, atol=1 / 128 + 1e-6)
 
 
 def test_kitti_flow_roundtrip(tmp_path):
