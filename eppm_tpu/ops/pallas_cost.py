@@ -166,6 +166,209 @@ def _cost_kernel(
             )
 
 
+def _cost_kernel_sep(
+    dys_ref, gys_ref,
+    pack1_ref, warped_ref,   # HBM
+    out_ref,             # (K, TH, TW) VMEM block
+    p1_ref, w2_ref, p1s_ref, w2s_ref, acc_ref, sem,
+    *,
+    cands: Tuple[Tuple[int, int], ...],
+    n_dys: int,
+    dxs: Tuple[int, ...],
+    gxs: Tuple[float, ...],
+    HY: int, HX: int, TH: int, TW: int,
+    lam_ad2: float, lam_cen2: float, inv_sig_r2: float,
+):
+    """Fronto-only (single tap table) variant of ``_cost_kernel``.
+
+    The default tap grid is an outer product dys x dxs, so the tap loop
+    separates: ONE dynamic y-roll per row offset materializes a slab,
+    and every column offset (and candidate column) is a *static* slice
+    of it — (n_dy*n_dx)*2 dynamic full-window rolls collapse to n_dy*2
+    slab rolls.  Dynamic rolls cost several selects per element over
+    the whole padded window; static slices are lane rotates on load.
+    Candidate row offsets read the w2 slab at +-cmax rows (slab is
+    sublane-extended by 8 each side, so cmax <= 8).
+    """
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    WH = TH + 2 * HY
+    WW = TW + 2 * HX
+    K = len(cands)
+
+    copy1 = pltpu.make_async_copy(
+        pack1_ref.at[:, pl.ds(ti * TH, WH), pl.ds(tj * TW, WW)],
+        p1_ref, sem.at[0],
+    )
+    copy2 = pltpu.make_async_copy(
+        warped_ref.at[:, pl.ds(ti * TH, WH), pl.ds(tj * TW, WW)],
+        w2_ref, sem.at[1],
+    )
+    copy1.start()
+    copy2.start()
+    copy1.wait()
+    copy2.wait()
+
+    c1r = p1_ref[0, HY : HY + TH, HX : HX + TW]
+    c1g = p1_ref[1, HY : HY + TH, HX : HX + TW]
+    c1b = p1_ref[2, HY : HY + TH, HX : HX + TW]
+    centers2 = [
+        (
+            w2_ref[0, HY + cy : HY + cy + TH, HX + cx : HX + cx + TW],
+            w2_ref[1, HY + cy : HY + cy + TH, HX + cx : HX + cx + TW],
+            w2_ref[2, HY + cy : HY + cy + TH, HX + cx : HX + cx + TW],
+        )
+        for (cy, cx) in cands
+    ]
+
+    acc_ref[:] = jnp.zeros((2 * K, TH, TW), jnp.float32)
+
+    def dy_body(t, _):
+        dy = dys_ref[t, 0]
+        gy = gys_ref[t, 0]
+        sh = (WH - dy) % WH
+        p1s_ref[:] = pltpu.roll(p1_ref[:], sh, 1)[:, HY : HY + TH, :]
+        w2s_ref[:] = pltpu.roll(w2_ref[:], sh, 1)[
+            :, HY - 8 : HY + TH + 8, :
+        ]
+        accs = [acc_ref[i] for i in range(2 * K)]
+        for dx, gx in zip(dxs, gxs):
+            r1 = p1s_ref[0, :, HX + dx : HX + dx + TW]
+            g1 = p1s_ref[1, :, HX + dx : HX + dx + TW]
+            b1 = p1s_ref[2, :, HX + dx : HX + dx + TW]
+            s1 = p1s_ref[3, :, HX + dx : HX + dx + TW].astype(jnp.int32)
+            dr1 = jnp.maximum(
+                jnp.maximum(jnp.abs(c1r - r1), jnp.abs(c1g - g1)),
+                jnp.abs(c1b - b1),
+            )
+            e1 = jnp.exp(-(dr1 * dr1) * inv_sig_r2) * (gy * gx)
+            for k, (cy, cx) in enumerate(cands):
+                ro = 8 + cy
+                co = HX + dx + cx
+                r2 = w2s_ref[0, ro : ro + TH, co : co + TW]
+                g2 = w2s_ref[1, ro : ro + TH, co : co + TW]
+                b2 = w2s_ref[2, ro : ro + TH, co : co + TW]
+                s2 = w2s_ref[3, ro : ro + TH, co : co + TW]
+                ad = jnp.maximum(
+                    jnp.maximum(jnp.abs(r1 - r2), jnp.abs(g1 - g2)),
+                    jnp.abs(b1 - b2),
+                )
+                c_ad = 1.0 - jnp.exp(-(ad * ad) * (1.0 / lam_ad2))
+                x = s1 ^ s2.astype(jnp.int32)
+                x = x - ((x >> 1) & 0x55)
+                x = (x & 0x33) + ((x >> 2) & 0x33)
+                ham = ((x + (x >> 4)) & 0x0F).astype(jnp.float32)
+                c_cen = 1.0 - jnp.exp(-(ham * ham) * (1.0 / lam_cen2))
+                k2r, k2g, k2b = centers2[k]
+                dr2 = jnp.maximum(
+                    jnp.maximum(jnp.abs(k2r - r2), jnp.abs(k2g - g2)),
+                    jnp.abs(k2b - b2),
+                )
+                wgt = jnp.exp(-(dr2 * dr2) * inv_sig_r2) * e1
+                accs[2 * k] = accs[2 * k] + wgt * (c_ad + c_cen)
+                accs[2 * k + 1] = accs[2 * k + 1] + wgt
+        for i in range(2 * K):
+            acc_ref[i] = accs[i]
+        return 0
+
+    jax.lax.fori_loop(0, n_dys, dy_body, 0)
+
+    for k in range(K):
+        cost = acc_ref[2 * k] / jnp.maximum(acc_ref[2 * k + 1], 1e-30)
+        out_ref[k] = jnp.round(cost * 131072.0) * (1.0 / 131072.0)
+
+
+def _residual_costs_sep(
+    pack1: jnp.ndarray,
+    warped2: jnp.ndarray,
+    cand_offsets: Sequence[Tuple[int, int]],
+    cfg: CostConfig,
+    tile: Tuple[int, int] = (64, 512),
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Separable-grid dispatch target of ``residual_costs_pallas`` for
+    ``use_planes=False`` (the default path since fronto-only refine
+    measured EPE-neutral)."""
+    h, w = pack1.shape[0], pack1.shape[1]
+    taps = tuple(cfg.tap_offsets)
+    dys_l = sorted({i for (i, _) in taps})
+    dxs_l = sorted({j for (_, j) in taps})
+    assert len(dys_l) * len(dxs_l) == len(taps)
+    sig_s2 = cfg.sigma_spatial * cfg.sigma_spatial
+    dys = np.asarray([[d] for d in dys_l], np.int32)
+    gys = np.asarray(
+        [[math.exp(-(d * d) / sig_s2)] for d in dys_l], np.float32
+    )
+    gxs = tuple(math.exp(-(d * d) / sig_s2) for d in dxs_l)
+
+    R = cfg.patch_radius
+    cmax = max(max(abs(a), abs(b)) for (a, b) in cand_offsets)
+    assert cmax <= 8, "separable kernel slab covers candidate rows <= 8"
+    reach = max(cmax + R, R)
+
+    TH, TW = tile
+    TH = min(TH, _round_up(h, 8))
+    TW = min(TW, _round_up(w, 128))
+    HY = max(8, _round_up(reach, 8))
+    HX = _round_up(reach, 128)
+    K = len(cand_offsets)
+
+    def vmem_bytes(th, tw):
+        win = 4 * (th + 2 * HY) * (tw + 2 * HX) * 4
+        slab = 4 * th * (tw + 2 * HX) * 4 + 4 * (th + 16) * (tw + 2 * HX) * 4
+        acc = 2 * K * th * tw * 4
+        outb = 2 * K * th * tw * 4
+        return 2 * win + slab + acc + outb
+
+    while TH > 8 and vmem_bytes(TH, TW) > 14 * 2**20:
+        TH = max(8, _round_up(TH // 2, 8))
+
+    ph = (-h) % TH
+    pw = (-w) % TW
+    hp, wp = h + ph, w + pw
+
+    p1 = jnp.moveaxis(pack1, -1, 0)
+    wd = jnp.moveaxis(warped2, -1, 0)
+    pack1p = jnp.pad(p1, ((0, 0), (HY, HY + ph), (HX, HX + pw)), mode="edge")
+    warped2p = jnp.pad(wd, ((0, 0), (HY, HY + ph), (HX, HX + pw)), mode="edge")
+
+    kern = functools.partial(
+        _cost_kernel_sep,
+        cands=tuple(cand_offsets),
+        n_dys=len(dys_l),
+        dxs=tuple(dxs_l),
+        gxs=gxs,
+        HY=HY, HX=HX, TH=TH, TW=TW,
+        lam_ad2=cfg.lambda_ad**2,
+        lam_cen2=(cfg.lambda_census * cfg.census_max_diff) ** 2,
+        inv_sig_r2=1.0 / (cfg.sigma_range**2),
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(hp // TH, wp // TW),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec((K, TH, TW), lambda i, j, *_: (0, i, j)),
+        scratch_shapes=[
+            pltpu.VMEM((4, TH + 2 * HY, TW + 2 * HX), jnp.float32),
+            pltpu.VMEM((4, TH + 2 * HY, TW + 2 * HX), jnp.float32),
+            pltpu.VMEM((4, TH, TW + 2 * HX), jnp.float32),
+            pltpu.VMEM((4, TH + 16, TW + 2 * HX), jnp.float32),
+            pltpu.VMEM((2 * K, TH, TW), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((K, hp, wp), jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray(dys), jnp.asarray(gys), pack1p, warped2p)
+    return out[:, :h, :w]
+
+
 def residual_costs_pallas(
     pack1: jnp.ndarray,
     warped2: jnp.ndarray,
@@ -178,6 +381,13 @@ def residual_costs_pallas(
 
     Semantically identical to ops.dense.residual_costs (the XLA oracle).
     """
+    if not use_planes:
+        taps = tuple(cfg.tap_offsets)
+        dys_l = {i for (i, _) in taps}
+        dxs_l = {j for (_, j) in taps}
+        cmax = max(max(abs(a), abs(b)) for (a, b) in cand_offsets)
+        if len(dys_l) * len(dxs_l) == len(taps) and cmax <= 8:
+            return _residual_costs_sep(pack1, warped2, cand_offsets, cfg)
     h, w = pack1.shape[0], pack1.shape[1]
     tables = plane_offsets(cfg) if use_planes else [tuple(cfg.tap_offsets)]
     T = len(tables)

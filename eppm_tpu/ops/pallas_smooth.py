@@ -32,12 +32,14 @@ __all__ = ["flow_smoothing_pallas", "flow_smoothing_auto"]
 
 
 def _smooth_kernel(
-    offs_ref, gws_ref,
+    dys_ref, gys_ref,
     state_ref,            # (6, Hp, Wp): u, v, known, r, g, b  (HBM)
     out_ref,              # (2, TH, TW) block
-    win_ref, acc_ref, sem,
+    win_ref, yslab_ref, acc_ref, sem,
     *,
-    n_taps: int,
+    n_dys: int,
+    dxs: Tuple[int, ...],
+    gxs: Tuple[float, ...],
     HY: int, HX: int, TH: int, TW: int,
     inv_sig_r2: float,
 ):
@@ -53,43 +55,54 @@ def _smooth_kernel(
     cp.start()
     cp.wait()
 
-    winv = win_ref[:]
-    c_r = winv[3, HY : HY + TH, HX : HX + TW]
-    c_g = winv[4, HY : HY + TH, HX : HX + TW]
-    c_b = winv[5, HY : HY + TH, HX : HX + TW]
+    c_r = win_ref[3, HY : HY + TH, HX : HX + TW]
+    c_g = win_ref[4, HY : HY + TH, HX : HX + TW]
+    c_b = win_ref[5, HY : HY + TH, HX : HX + TW]
 
     # acc: u_sum, v_sum, w_sum
     acc_ref[:] = jnp.zeros((3, TH, TW), jnp.float32)
 
-    def tap_body(t, _):
-        dy = offs_ref[t, 0]
-        dx = offs_ref[t, 1]
-        gw = gws_ref[t, 0]
-        r = pltpu.roll(
-            pltpu.roll(winv, (WH - dy) % WH, 1), (WW - dx) % WW, 2
-        )
-        u = r[0, HY : HY + TH, HX : HX + TW]
-        v = r[1, HY : HY + TH, HX : HX + TW]
-        known = r[2, HY : HY + TH, HX : HX + TW]
-        pr = r[3, HY : HY + TH, HX : HX + TW]
-        pg = r[4, HY : HY + TH, HX : HX + TW]
-        pb = r[5, HY : HY + TH, HX : HX + TW]
-        dr = jnp.maximum(
-            jnp.maximum(jnp.abs(pr - c_r), jnp.abs(pg - c_g)),
-            jnp.abs(pb - c_b),
-        )
-        w = jnp.exp(-(dr * dr) * inv_sig_r2) * gw * known
-        acc_ref[0] = acc_ref[0] + w * u
-        acc_ref[1] = acc_ref[1] + w * v
-        acc_ref[2] = acc_ref[2] + w
+    # Dynamic rolls are the expensive op (a variable shift costs several
+    # elementwise selects over the whole padded window).  Structure: ONE
+    # dynamic y-roll per row offset (materialized as a TH-row slab), then
+    # the 2r+1 column offsets are *static* slices of that slab — Mosaic
+    # lowers a constant-offset slice to a lane rotate on load, touching
+    # only out-sized data.  (2r+1)^2 -> (2r+1) dynamic rolls vs the
+    # tap-loop form.
+    def dy_body(t, _):
+        dy = dys_ref[t, 0]
+        gy = gys_ref[t, 0]
+        wv = win_ref[:]
+        yslab_ref[:] = pltpu.roll(wv, (WH - dy) % WH, 1)[:, HY : HY + TH, :]
+        acc_u = acc_ref[0]
+        acc_v = acc_ref[1]
+        acc_w = acc_ref[2]
+        for dx, gx in zip(dxs, gxs):
+            u = yslab_ref[0, :, HX + dx : HX + dx + TW]
+            v = yslab_ref[1, :, HX + dx : HX + dx + TW]
+            known = yslab_ref[2, :, HX + dx : HX + dx + TW]
+            pr = yslab_ref[3, :, HX + dx : HX + dx + TW]
+            pg = yslab_ref[4, :, HX + dx : HX + dx + TW]
+            pb = yslab_ref[5, :, HX + dx : HX + dx + TW]
+            dr = jnp.maximum(
+                jnp.maximum(jnp.abs(pr - c_r), jnp.abs(pg - c_g)),
+                jnp.abs(pb - c_b),
+            )
+            w = jnp.exp(-(dr * dr) * inv_sig_r2) * (gy * gx) * known
+            acc_u = acc_u + w * u
+            acc_v = acc_v + w * v
+            acc_w = acc_w + w
+        acc_ref[0] = acc_u
+        acc_ref[1] = acc_v
+        acc_ref[2] = acc_w
         return 0
 
-    jax.lax.fori_loop(0, n_taps, tap_body, 0)
+    jax.lax.fori_loop(0, n_dys, dy_body, 0)
 
     wsum = acc_ref[2]
     has = wsum > 0
-    u0 = winv[0, HY : HY + TH, HX : HX + TW]
-    v0 = winv[1, HY : HY + TH, HX : HX + TW]
+    u0 = win_ref[0, HY : HY + TH, HX : HX + TW]
+    v0 = win_ref[1, HY : HY + TH, HX : HX + TW]
     inv = 1.0 / jnp.maximum(wsum, 1e-30)
     out_ref[0] = jnp.where(has, acc_ref[0] * inv, u0)
     out_ref[1] = jnp.where(has, acc_ref[1] * inv, v0)
@@ -99,22 +112,21 @@ def flow_smoothing_pallas(
     flow: jnp.ndarray,
     img: jnp.ndarray,
     cfg: RefineConfig = RefineConfig(),
-    tile: Tuple[int, int] = (128, 256),
+    tile: Tuple[int, int] = (128, 512),
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Drop-in for ops.refine.flow_smoothing on TPU."""
     h, w = flow.shape[:2]
     r = cfg.blf_radius
     sig_s2 = cfg.blf_sigma_spatial**2
 
-    offs = [(dy, dx) for dy in range(-r, r + 1) for dx in range(-r, r + 1)]
-    gws = np.asarray(
-        [
-            [math.exp(-(dy * dy) / sig_s2) * math.exp(-(dx * dx) / sig_s2)]
-            for dy, dx in offs
-        ],
+    dys = np.asarray([[dy] for dy in range(-r, r + 1)], np.int32)
+    gys = np.asarray(
+        [[math.exp(-(dy * dy) / sig_s2)] for dy in range(-r, r + 1)],
         np.float32,
     )
-    offs_arr = np.asarray(offs, np.int32)
+    dxs = tuple(range(-r, r + 1))
+    gxs = tuple(math.exp(-(dx * dx) / sig_s2) for dx in dxs)
 
     TH, TW = tile
     TH = min(TH, _round_up(h, 8))
@@ -149,7 +161,9 @@ def flow_smoothing_pallas(
 
     kern = functools.partial(
         _smooth_kernel,
-        n_taps=len(offs),
+        n_dys=len(dxs),
+        dxs=dxs,
+        gxs=gxs,
         HY=HY, HX=HX, TH=TH, TW=TW,
         inv_sig_r2=1.0 / (cfg.blf_sigma_range**2),
     )
@@ -160,6 +174,7 @@ def flow_smoothing_pallas(
         out_specs=pl.BlockSpec((2, TH, TW), lambda i, j, *_: (0, i, j)),
         scratch_shapes=[
             pltpu.VMEM((6, TH + 2 * HY, TW + 2 * HX), jnp.float32),
+            pltpu.VMEM((6, TH, TW + 2 * HX), jnp.float32),
             pltpu.VMEM((3, TH, TW), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
@@ -168,7 +183,8 @@ def flow_smoothing_pallas(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((2, hp, wp), jnp.float32),
-    )(jnp.asarray(offs_arr), jnp.asarray(gws), statep)
+        interpret=interpret,
+    )(jnp.asarray(dys), jnp.asarray(gys), statep)
     return jnp.stack([out[0, :h, :w], out[1, :h, :w]], axis=-1)
 
 

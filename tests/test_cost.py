@@ -161,3 +161,36 @@ def test_planefitting_upper_bounded_by_fronto(rng):
     fronto = np.asarray(patch_cost(p1, p2, tx, ty, cfg))
     plane = np.asarray(patch_cost_planefitting(p1, p2, tx, ty, cfg))
     assert (plane <= fronto + 1e-6).all()
+
+
+def test_residual_costs_sep_interpret_matches_oracle(rng):
+    """Separable fronto-only Pallas cost kernel vs the XLA oracle in
+    interpret mode (real-chip check: tools/tpu_check.py).  Differences
+    are bounded by one 2^-17 quantization step (accumulation-order ulp
+    at round() boundaries)."""
+    from eppm_tpu.config import CostConfig
+    from eppm_tpu.ops.dense import center_out_offsets, residual_costs
+    from eppm_tpu.ops.pallas_cost import _residual_costs_sep
+
+    h, w = 40, 150
+    pack1 = rng.random((h, w, 4)).astype(np.float32)
+    pack1[..., 3] = rng.integers(0, 256, (h, w))
+    warped2 = rng.random((h, w, 4)).astype(np.float32)
+    warped2[..., 3] = rng.integers(0, 256, (h, w))
+    cfg = CostConfig()
+    cands = center_out_offsets(1)
+    ref = np.asarray(
+        residual_costs(
+            jnp.asarray(pack1), jnp.asarray(warped2), cands, cfg,
+            use_planes=False,
+        )
+    )
+    got = np.asarray(
+        _residual_costs_sep(
+            jnp.asarray(pack1), jnp.asarray(warped2), cands, cfg,
+            interpret=True,
+        )
+    )
+    d = np.abs(ref - got)
+    assert d.max() <= 2.0 ** -17 + 1e-9
+    assert (d > 0).mean() < 0.01

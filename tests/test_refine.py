@@ -389,3 +389,23 @@ def test_flow_smoothing_preserves_constant_flow(rng):
     img = rng.random((8, 8, 3)).astype(np.float32)
     got = np.asarray(flow_smoothing(jnp.asarray(flow), jnp.asarray(img), cfg))
     np.testing.assert_allclose(got, flow, rtol=1e-5)
+
+
+def test_flow_smoothing_pallas_interpret_matches_oracle(rng):
+    """The Pallas kernel's logic (y-roll + static x-slice restructuring)
+    vs the XLA oracle, via interpret mode — the real-chip check lives in
+    tools/tpu_check.py."""
+    from eppm_tpu.ops.pallas_smooth import flow_smoothing_pallas
+
+    cfg = RefineConfig()
+    h, w = 40, 150
+    flow = rng.normal(0, 5, (h, w, 2)).astype(np.float32)
+    flow[rng.random((h, w)) < 0.1] = UNKNOWN_FLOW
+    img = rng.random((h, w, 3)).astype(np.float32)
+    ref = np.asarray(flow_smoothing(jnp.asarray(flow), jnp.asarray(img), cfg))
+    got = np.asarray(
+        flow_smoothing_pallas(
+            jnp.asarray(flow), jnp.asarray(img), cfg, interpret=True
+        )
+    )
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-4)

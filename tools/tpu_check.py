@@ -61,6 +61,14 @@ def main():
     d = float(np.abs(o_p - o_x).max())
     check("residual_costs_pallas", d < 1e-4, f"maxdiff={d:.2e}")
 
+    # --- fronto-only (separable) cost kernel — the default refine path ---
+    o_p = np.asarray(
+        residual_costs_pallas(packs1[0], J, cands, cfg.cost, False)
+    )
+    o_x = np.asarray(residual_costs(packs1[0], J, cands, cfg.cost, False, 100))
+    d = float(np.abs(o_p - o_x).max())
+    check("residual_costs_sep", d < 1e-4, f"maxdiff={d:.2e}")
+
     # --- WMF kernels (in-VMEM and tiled) ---
     for name, (hh, ww), fn in [
         ("wmf_pallas", (120, 160),
