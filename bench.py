@@ -47,20 +47,20 @@ def main() -> None:
     # host readbacks — and count wall time for all results on host.
     N = 8
     keys = [jax.random.PRNGKey(1234 + i) for i in range(N)]
-    # Adaptive repeat: a TPU worker recovering from a prior process crash
-    # serves the first seconds of traffic 10-20x degraded (measured
-    # 2026-08-17: 0.36 fps then 8.7 fps from the identical program).  Keep
-    # measuring batches until the best batch stops improving (>5%), up to 6.
-    best = float("inf")
-    for _ in range(6):
-        t0 = time.perf_counter()
+    # stable_throughput: a TPU worker recovering from a prior process
+    # crash serves the first seconds of traffic 10-20x degraded (measured
+    # 2026-08-17: 0.36 fps then 8.7 fps from the identical program) —
+    # measure batches until the best batch stops improving (utils.guard).
+    from eppm_tpu.utils import stable_throughput
+
+    outs = []
+
+    def run_batch():
         flows = [compute_flow_jit(img1, img2, k) for k in keys]
-        outs = [np.asarray(f) for f in flows]
-        cur = (time.perf_counter() - t0) / N
-        improved = cur < 0.95 * best
-        best = min(best, cur)
-        if not improved and best < float("inf"):
-            break
+        outs[:] = [np.asarray(f) for f in flows]
+        return outs
+
+    best = stable_throughput(run_batch) / N
     flow = outs[0]
     fps = 1.0 / best
 

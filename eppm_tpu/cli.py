@@ -87,18 +87,30 @@ def _compute(img1, img2, cfg, mesh_shape=None):
 
     from .pipeline import compute_flow_jit
 
+    from .utils import with_recovery
+
     if mesh_shape:
         from .parallel import compute_flow_sharded, make_mesh
 
         b, y, x = mesh_shape
         mesh = make_mesh(batch=b, y=y, x=x)
-        out = compute_flow_sharded(
-            jnp.asarray(img1)[None], jnp.asarray(img2)[None], mesh, cfg
-        )
-        return np.asarray(out[0])
-    return np.asarray(
-        compute_flow_jit(jnp.asarray(img1), jnp.asarray(img2), None, cfg)
-    )
+
+        def run():
+            out = compute_flow_sharded(
+                jnp.asarray(img1)[None], jnp.asarray(img2)[None], mesh, cfg
+            )
+            return np.asarray(out[0])
+
+    else:
+
+        def run():
+            return np.asarray(
+                compute_flow_jit(jnp.asarray(img1), jnp.asarray(img2), None, cfg)
+            )
+
+    # A TPU worker crashed by a previous process faults the next dispatch
+    # and recovers ~30 s later — retry device faults once (utils.guard).
+    return with_recovery(run, retries=1)()
 
 
 def _evaluate(flow, gt_path, border):
@@ -234,10 +246,17 @@ def main(argv: Optional[List[str]] = None) -> int:
         prev = None
         # warm-up compile on the first pair
         first = read_ppm_batch(paths[:2])
-        warm = compute_flow_jit(
-            jnp.asarray(first[0]), jnp.asarray(first[1]), None, cfg
-        )
-        _ = np.asarray(warm if exact else _q16(warm))
+        from .utils import with_recovery
+
+        def _warm():
+            warm = compute_flow_jit(
+                jnp.asarray(first[0]), jnp.asarray(first[1]), None, cfg
+            )
+            return np.asarray(warm if exact else _q16(warm))
+
+        # the warm-up absorbs any recovering-worker fault so the timed
+        # streaming loop below runs against a healthy device
+        _ = with_recovery(_warm, retries=1)()
         t0 = time.perf_counter()
         for start in range(0, len(paths), CHUNK):
             frames = read_ppm_batch(paths[start : start + CHUNK])
