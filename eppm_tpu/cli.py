@@ -81,9 +81,23 @@ def load_image(path: str) -> np.ndarray:
         )
 
 
+def _force_requested_platform(jax):
+    """Honor JAX_PLATFORMS even when a site plugin re-registers itself in
+    jax.config at import time and clobbers it (this environment's TPU
+    tunnel plugin does; a CPU-requested run would otherwise try — and,
+    during a tunnel outage, hang — initializing the device backend)."""
+    import os
+
+    want = os.environ.get("JAX_PLATFORMS", "")
+    if want and jax.config.jax_platforms != want:
+        jax.config.update("jax_platforms", want)
+
+
 def _compute(img1, img2, cfg, mesh_shape=None):
     import jax
     import jax.numpy as jnp
+
+    _force_requested_platform(jax)
 
     from .pipeline import compute_flow_jit
 
@@ -182,6 +196,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     if args.frames_dir:
         import jax
         import jax.numpy as jnp
+
+        _force_requested_platform(jax)
 
         from .io import read_ppm_batch, write_flo
         from .pipeline import compute_flow_jit
