@@ -56,9 +56,15 @@ __all__ = [
 ]
 
 
-def center_out_offsets(radius: int) -> List[Tuple[int, int]]:
+def center_out_offsets(radius: int, shape: str = "square") -> List[Tuple[int, int]]:
     """(dy, dx) residual candidates ordered center-out: (0,0) first, then
     by Chebyshev ring and squared distance.
+
+    ``shape="square"`` is the full (2r+1)^2 grid (the reference re-search,
+    bao_pmflow_kernel.cu:2005-2041 searches the full 3x3); ``shape="plus"``
+    keeps only |dy|+|dx| <= radius (the L1 ball — 5 candidates at r=1),
+    trading diagonal single-pass moves for ~1.8x less cost arithmetic;
+    iterative-warping passes recover diagonals as two axis steps.
 
     Why this ordering matters here and not in the reference: argmin ties
     keep the *first* candidate, and our costs are quantized to a 2^-17
@@ -73,6 +79,10 @@ def center_out_offsets(radius: int) -> List[Tuple[int, int]]:
         for m in range(-radius, radius + 1)
         for n in range(-radius, radius + 1)
     ]
+    if shape == "plus":
+        cands = [c for c in cands if abs(c[0]) + abs(c[1]) <= radius]
+    elif shape != "square":
+        raise ValueError(f"unknown candidate shape {shape!r}")
     cands.sort(key=lambda c: (max(abs(c[0]), abs(c[1])),
                               c[0] * c[0] + c[1] * c[1], c))
     return cands
@@ -261,6 +271,7 @@ def dense_refine_flow(
     tap_chunk: int = 25,
     warped2: Optional[jnp.ndarray] = None,
     origin: Tuple = (0, 0),
+    cand_shape: str = "square",
 ) -> jnp.ndarray:
     """Drop-in dense replacement for ``blf_refine_flow`` (ops/refine.py).
 
@@ -288,7 +299,7 @@ def dense_refine_flow(
     if warped2 is None:
         warped2 = warp_pack(pack2, gx, gy, origin)
 
-    cand_offsets = center_out_offsets(search_radius)
+    cand_offsets = center_out_offsets(search_radius, cand_shape)
     from .pallas_cost import residual_costs_auto
 
     costs = residual_costs_auto(

@@ -258,6 +258,7 @@ def _pair_flow_tiled(img1, img2, key, cfg: EPPMConfig, ny: int, nx: int):
                     cfg.dense_search_radius,
                     cfg.dense_pass2_planes if med else cfg.dense_pass1_planes,
                     cfg.cost_tap_chunk, origin=(y0 - G, x0 - G),
+                    cand_shape=cfg.dense_cand_shape,
                 )
                 return ext[G:-G, G:-G]
 

@@ -150,13 +150,13 @@ def compute_flow(
             flow = dense_refine_flow(
                 flow, packs1[lvl], packs2[lvl], cfg.cost,
                 cfg.dense_search_radius, cfg.dense_pass1_planes,
-                cfg.cost_tap_chunk,
+                cfg.cost_tap_chunk, cand_shape=cfg.dense_cand_shape,
             )
             for _ in range(cfg.dense_refine_passes - 1):
                 flow = dense_refine_flow(
                     median3_flow(flow), packs1[lvl], packs2[lvl], cfg.cost,
                     cfg.dense_search_radius, cfg.dense_pass2_planes,
-                    cfg.cost_tap_chunk,
+                    cfg.cost_tap_chunk, cand_shape=cfg.dense_cand_shape,
                 )
         else:
             flow = blf_refine_flow(
@@ -240,7 +240,7 @@ def _refine_pass_stage(flow, pack1, pack2, cfg, oh, ow, med):
     return dense_refine_flow(
         flow, pack1, pack2, cfg.cost, cfg.dense_search_radius,
         cfg.dense_pass2_planes if med else cfg.dense_pass1_planes,
-        cfg.cost_tap_chunk,
+        cfg.cost_tap_chunk, cand_shape=cfg.dense_cand_shape,
     )
 
 
