@@ -254,3 +254,32 @@ def test_full_3axis_mesh(rng):
     assert np.isfinite(out).all()
     b = 8
     assert abs(np.median(out[0, b:-b, b:-b, 0]) - 2.0) <= 1.0
+
+
+def test_sharded_plus_cand_shape(rng):
+    """dense_cand_shape="plus" through the sharded path: mesh-shape
+    invariant and agreeing with the single-chip program (same gates as
+    the default-config test — the knob only changes the candidate list
+    both programs share)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(_cfg(depth=2), dense_cand_shape="plus")
+    h, w = 64, 96
+    img2 = _textured(rng, h, w)
+    img1 = np.roll(img2, (-3, -2), axis=(1, 0))
+    key = jax.random.PRNGKey(cfg.seed)
+    single = np.asarray(
+        compute_flow(jnp.asarray(img1), jnp.asarray(img2), key, cfg)
+    )
+    outs = {}
+    for (ny, nx) in [(1, 2), (2, 2)]:
+        mesh = make_mesh(batch=1, y=ny, x=nx)
+        outs[(ny, nx)] = np.asarray(
+            compute_flow_sharded(
+                jnp.asarray(img1)[None], jnp.asarray(img2)[None], mesh,
+                cfg, keys=key[None],
+            )
+        )[0]
+    np.testing.assert_array_equal(outs[(1, 2)], outs[(2, 2)])
+    d = np.abs(outs[(1, 2)] - single).max(axis=-1)
+    assert (d < 1e-3).mean() > 0.98
