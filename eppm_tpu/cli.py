@@ -172,6 +172,10 @@ def main(argv: Optional[List[str]] = None) -> int:
                         "+ pipelined device dispatch")
     p.add_argument("--out-dir", metavar="DIR",
                    help="directory for streamed .flo outputs")
+    p.add_argument("--temporal", action="store_true",
+                   help="streaming: warm-start each pair's coarse match "
+                        "from the previous pair's flow (MatchConfig "
+                        "temporal warm start)")
     p.add_argument("--exact-readback", action="store_true",
                    help="stream mode: fetch flow as float32 instead of the "
                         "default 1/64-px int16 fixed point (half the "
@@ -260,6 +264,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         drainer.start()
 
         prev = None
+        prev_flow = None  # --temporal: previous pair's device-resident flow
         # warm-up compile on the first pair
         first = read_ppm_batch(paths[:2])
         from .utils import with_recovery
@@ -268,6 +273,11 @@ def main(argv: Optional[List[str]] = None) -> int:
             warm = compute_flow_jit(
                 jnp.asarray(first[0]), jnp.asarray(first[1]), None, cfg
             )
+            if args.temporal:  # also compile the warm-started program
+                warm = compute_flow_jit(
+                    jnp.asarray(first[0]), jnp.asarray(first[1]), None, cfg,
+                    init_flow=warm,
+                )
             return np.asarray(warm if exact else _q16(warm))
 
         # the warm-up absorbs any recovering-worker fault so the timed
@@ -280,7 +290,12 @@ def main(argv: Optional[List[str]] = None) -> int:
                 cur = jnp.asarray(frames[k])
                 if prev is not None:
                     idx = start + k - 1
-                    fl = compute_flow_jit(prev, cur, None, cfg)
+                    fl = compute_flow_jit(
+                        prev, cur, None, cfg,
+                        init_flow=prev_flow if args.temporal else None,
+                    )
+                    if args.temporal:
+                        prev_flow = fl
                     fetch_q.put(
                         (names[idx], fl if exact else _q16(fl))
                     )

@@ -247,6 +247,18 @@ class MatchConfig:
     # Also run the global matcher at full coarse resolution and merge by
     # true-cost argmin (large-displacement recall).
     global_at_coarse: bool = True
+    # Temporal warm start (video streaming).  When the pipeline is given
+    # an ``init_flow`` (the previous pair's flow), the coarse matcher
+    # always rescores it with the true cost and merges it by per-pixel
+    # argmin — a pure-quality proposal.  With ``warm_skip_global`` the
+    # matcher additionally skips the global descriptor stages (the
+    # tiny-level argmax + mini-pyramid descent + coarse proposals):
+    # their large-displacement-recall duty is covered by the warm
+    # proposal for temporally coherent video, and what remains
+    # (propagation + polish + exact stage) re-acquires motion changes up
+    # to the propagation span per frame.  The reference has no streaming
+    # mode at all (main.cpp processes one hardcoded pair).
+    warm_skip_global: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

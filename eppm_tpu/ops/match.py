@@ -352,15 +352,22 @@ def match_coarse(
     tap_chunk: int = 25,
     pack1: Optional[jnp.ndarray] = None,
     pack2: Optional[jnp.ndarray] = None,
+    init_flow: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Coarse-level dense matching, frame 1 -> frame 2.
 
     Returns (tx, ty, cost): absolute int32 target fields + float32 cost,
     the same contract as ``ops.patchmatch.patchmatch``.
+
+    ``init_flow`` (H, W, 2), when given, is a temporal warm start (e.g.
+    the previous pair's flow resized to this level): always merged as a
+    true-cost proposal; with ``match_cfg.warm_skip_global`` it replaces
+    the global descriptor stages entirely (see MatchConfig).
     """
     import dataclasses
 
     h, w = img1.shape[0], img1.shape[1]
+    skip_global = init_flow is not None and match_cfg.warm_skip_global
     # Mini-pyramid floor: a level must stay large relative to the patch
     # (19x19 default) or residual argmins degenerate into border-clamp
     # noise; keep min(h, w) >= ~24 px.
@@ -383,7 +390,15 @@ def match_coarse(
         sigma_spatial=0.5 * match_cfg.mini_patch_radius,
     )
 
-    if levels > 0:
+    if skip_global:
+        # Temporal warm start: begin from the previous pair's flow and
+        # locally re-optimize (one dense residual sweep seeds the cost
+        # field; propagation + exact polish below do the rest).
+        flow, cost = descend_level(
+            pack1, pack2, init_flow, match_cfg.descent_radius, cost_cfg,
+            tap_chunk,
+        )
+    elif levels > 0:
         # --- tiny level: global MXU matching ---
         tiny1, tiny2 = packs1[-1], packs2[-1]
         d1 = patch_descriptors(tiny1, match_cfg)
@@ -412,9 +427,33 @@ def match_coarse(
         gy, gx, _, _ = _flow_to_targets(flow, h, w)
         cost = rescore(pack1, pack2, gy, gx, cost_cfg, tap_chunk)
 
+    if init_flow is not None and not skip_global:
+        # Warm proposal merged by true-cost argmin (out-of-image never
+        # wins) — can only lower the field's true cost.
+        from ..config import FLT_MAX
+
+        igx = jnp.trunc(init_flow[..., 0]).astype(jnp.int32)
+        igy = jnp.trunc(init_flow[..., 1]).astype(jnp.int32)
+        icost = rescore(pack1, pack2, igy, igx, cost_cfg, tap_chunk)
+        ysc0, xsc0 = _grid(h, w)
+        inb = (
+            (xsc0 + igx >= 0) & (xsc0 + igx < pack2.shape[1])
+            & (ysc0 + igy >= 0) & (ysc0 + igy < pack2.shape[0])
+        )
+        icost = jnp.where(inb, icost, FLT_MAX)
+        better = icost < cost
+        flow = jnp.where(
+            better[..., None],
+            jnp.stack(
+                [igx.astype(jnp.float32), igy.astype(jnp.float32)], axis=-1
+            ),
+            flow,
+        )
+        cost = jnp.where(better, icost, cost)
+
     # --- global proposals at coarse resolution (large-displacement
     # recall, the role of PatchMatch's global random init) ---
-    if match_cfg.global_at_coarse:
+    if match_cfg.global_at_coarse and not skip_global:
         # The argmax cost scales with N1*N2; above the threshold the
         # proposal grid subsamples by 2 on both frames (a proposal within
         # 1 px of the optimum is recovered by the final polish sweep,

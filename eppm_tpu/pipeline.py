@@ -86,17 +86,32 @@ def prepare_pyramids(
     return levels, packs
 
 
+def _coarse_init(init_flow, ch, cw, cfg):
+    """Resize a full-resolution temporal init flow to the coarse level
+    (values scale with the resolution ratio)."""
+    h = init_flow.shape[0]
+    r = ch / h
+    return bilinear_resize(init_flow, ch, cw, r) * r
+
+
 def compute_flow(
     img1: jnp.ndarray,
     img2: jnp.ndarray,
     key: Optional[jax.Array] = None,
     cfg: EPPMConfig = DEFAULT_CONFIG,
     fine_level_wmf: bool = False,
+    init_flow: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Dense flow frame1 -> frame2 for an (H, W, 3) pair; returns (H, W, 2).
 
     ``key`` defaults to PRNGKey(cfg.seed), mirroring the reference's fixed
     cuRAND seed 1234 (bao_pmflow_kernel.cu:68) — results are deterministic.
+
+    ``init_flow`` (H, W, 2) is an optional temporal warm start — the
+    previous pair's flow when streaming video — used by the dense coarse
+    matcher (forward as-is, backward negated; see MatchConfig).  The
+    PatchMatch engine ignores it (its random-init search structure is the
+    reference's, kept bit-faithful).
     """
     if key is None:
         key = jax.random.PRNGKey(cfg.seed)
@@ -108,13 +123,19 @@ def compute_flow(
 
     # --- coarsest level: bidirectional matching (+ refinement) ---
     if cfg.match_engine == "dense":
+        ci = None
+        if init_flow is not None:
+            ch, cw = packs1[top].shape[0], packs1[top].shape[1]
+            ci = _coarse_init(init_flow, ch, cw, cfg)
         tx1, ty1, c1 = match_coarse(
             levels1[top], levels2[top], cfg.cost, cfg.match,
             cfg.cost_tap_chunk, packs1[top], packs2[top],
+            init_flow=ci,
         )
         tx2, ty2, c2 = match_coarse(
             levels2[top], levels1[top], cfg.cost, cfg.match,
             cfg.cost_tap_chunk, packs2[top], packs1[top],
+            init_flow=None if ci is None else -ci,
         )
     else:
         tx1, ty1, c1 = patchmatch(
@@ -194,10 +215,11 @@ def _prep_stage(img, cfg):
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def _match_stage(lvl1, lvl2, pk1, pk2, key, cfg):
+def _match_stage(lvl1, lvl2, pk1, pk2, key, cfg, init_flow=None):
     if cfg.match_engine == "dense":
         return match_coarse(
-            lvl1, lvl2, cfg.cost, cfg.match, cfg.cost_tap_chunk, pk1, pk2
+            lvl1, lvl2, cfg.cost, cfg.match, cfg.cost_tap_chunk, pk1, pk2,
+            init_flow=init_flow,
         )
     return patchmatch(
         pk1, pk2, key, cfg.patchmatch, cfg.cost, cfg.cost_tap_chunk
@@ -275,8 +297,13 @@ def _subpixel_stage(flow, lvl1, lvl2, cfg):
 STAGED_PIPELINE_THRESHOLD = 1_000_000
 
 
+@partial(jax.jit, static_argnames=("ch", "cw", "cfg"))
+def _coarse_init_stage(init_flow, ch, cw, cfg):
+    return _coarse_init(init_flow, ch, cw, cfg)
+
+
 def compute_flow_jit(img1, img2, key=None, cfg=DEFAULT_CONFIG,
-                     fine_level_wmf: bool = False):
+                     fine_level_wmf: bool = False, init_flow=None):
     """Jitted pipeline entry point.
 
     Single XLA program for typical sizes; staged programs above
@@ -288,18 +315,26 @@ def compute_flow_jit(img1, img2, key=None, cfg=DEFAULT_CONFIG,
     h = img1.shape[0]
     w = img1.shape[1]
     if h * w <= STAGED_PIPELINE_THRESHOLD:
-        return _compute_flow_one_program(img1, img2, key, cfg, fine_level_wmf)
+        return _compute_flow_one_program(
+            img1, img2, key, cfg, fine_level_wmf, init_flow
+        )
     if key is None:
         key = jax.random.PRNGKey(cfg.seed)
     k_fwd, k_bwd = jax.random.split(key)
     levels1, packs1 = _prep_stage(img1, cfg)
     levels2, packs2 = _prep_stage(img2, cfg)
     top = len(packs1) - 1
+    ci = None
+    if init_flow is not None and cfg.match_engine == "dense":
+        ch, cw = packs1[top].shape[0], packs1[top].shape[1]
+        ci = _coarse_init_stage(init_flow, ch, cw, cfg)
     m1 = _match_stage(
-        levels1[top], levels2[top], packs1[top], packs2[top], k_fwd, cfg
+        levels1[top], levels2[top], packs1[top], packs2[top], k_fwd, cfg,
+        init_flow=ci,
     )
     m2 = _match_stage(
-        levels2[top], levels1[top], packs2[top], packs1[top], k_bwd, cfg
+        levels2[top], levels1[top], packs2[top], packs1[top], k_bwd, cfg,
+        init_flow=None if ci is None else -ci,
     )
     flow = _coarse_refine_stage(m1, m2, levels1[top], cfg)
     for lvl in range(top - 1, -1, -1):
@@ -356,9 +391,10 @@ class EPPMFlow:
         self,
         key: Optional[jax.Array] = None,
         fine_level_wmf: bool = False,
+        init_flow: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         if self._img1 is None:
             raise RuntimeError("set_data() must be called before compute_flow()")
         return compute_flow_jit(
-            self._img1, self._img2, key, self.cfg, fine_level_wmf
+            self._img1, self._img2, key, self.cfg, fine_level_wmf, init_flow
         )
