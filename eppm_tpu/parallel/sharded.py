@@ -61,7 +61,7 @@ from ..ops.refine import (
 from ..ops.pallas_smooth import flow_smoothing_auto
 from ..ops.pallas_wmf import weighted_median_filter_auto
 from ..ops.resize import bilinear_resize
-from ..pipeline import prepare_pyramids
+from ..pipeline import _coarse_init, prepare_pyramids
 from .halo import halo_exchange_2d
 
 __all__ = [
@@ -149,11 +149,18 @@ def _slice_tile_haloed(full, y0, x0, th, tw, halo, mode="edge"):
     return out[..., 0] if squeeze else out
 
 
-def _pair_flow_tiled(img1, img2, key, cfg: EPPMConfig, ny: int, nx: int):
+def _pair_flow_tiled(
+    img1, img2, key, cfg: EPPMConfig, ny: int, nx: int, init_flow=None
+):
     """Per-pair flow, running inside shard_map on the (y, x) submesh.
 
     img1/img2 are full frames (replicated over y/x).  Returns this
     device's (tile_h, tile_w, 2) shard of the full-resolution flow.
+
+    ``init_flow`` is the temporal warm start (full-res, replicated like
+    the frames) — the coarse level is replicated, so it feeds
+    ``match_coarse`` exactly as on a single chip (forward as-is,
+    backward negated).  The PatchMatch engine ignores it.
     """
     k_fwd, k_bwd = jax.random.split(key)
     levels1, packs1 = prepare_pyramids(img1, cfg)
@@ -162,13 +169,19 @@ def _pair_flow_tiled(img1, img2, key, cfg: EPPMConfig, ny: int, nx: int):
 
     # ---- coarsest level: replicated (identical on all (y,x) devices) ----
     if cfg.match_engine == "dense":
+        ci = None
+        if init_flow is not None:
+            ch, cw = packs1[top].shape[0], packs1[top].shape[1]
+            ci = _coarse_init(init_flow, ch, cw, cfg)
         tx1, ty1, c1 = match_coarse(
             levels1[top], levels2[top], cfg.cost, cfg.match,
             cfg.cost_tap_chunk, packs1[top], packs2[top],
+            init_flow=ci,
         )
         tx2, ty2, c2 = match_coarse(
             levels2[top], levels1[top], cfg.cost, cfg.match,
             cfg.cost_tap_chunk, packs2[top], packs1[top],
+            init_flow=None if ci is None else -ci,
         )
     else:
         tx1, ty1, c1 = patchmatch(
@@ -310,6 +323,34 @@ def _compute_flow_sharded_jit(imgs1, imgs2, keys, cfg, mesh):
     return fn(imgs1, imgs2, keys)
 
 
+@partial(jax.jit, static_argnames=("cfg", "mesh"))
+def _compute_flow_sharded_init_jit(imgs1, imgs2, keys, init_flows, cfg, mesh):
+    """Warm-started variant: init_flows (B, H, W, 2), replicated over
+    (y, x) like the frames themselves."""
+    ny = mesh.shape["y"]
+    nx = mesh.shape["x"]
+
+    def shard_fn(imgs1, imgs2, keys, init_flows):
+        def one(img1, img2, key, init_flow):
+            return _pair_flow_tiled(img1, img2, key, cfg, ny, nx, init_flow)
+
+        return jax.vmap(one)(imgs1, imgs2, keys, init_flows)
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            P("batch", None, None, None),
+            P("batch", None, None, None),
+            P("batch", None),
+            P("batch", None, None, None),
+        ),
+        out_specs=P("batch", "y", "x", None),
+        check_vma=False,
+    )
+    return fn(imgs1, imgs2, keys, init_flows)
+
+
 def compute_flow_sharded(
     imgs1: jnp.ndarray,
     imgs2: jnp.ndarray,
@@ -317,11 +358,16 @@ def compute_flow_sharded(
     cfg: EPPMConfig = DEFAULT_CONFIG,
     keys: Optional[jnp.ndarray] = None,
     pad_to_fit: bool = True,
+    init_flows: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Dense flow for a batch of pairs, sharded over ``mesh``.
 
     imgs1/imgs2: (B, H, W, 3); B divisible by mesh 'batch'.  Returns
     (B, H, W, 2) flow laid out with sharding P('batch', 'y', 'x').
+
+    ``init_flows`` (B, H, W, 2): optional temporal warm start per pair
+    (the previous pair's flow when streaming video) — same semantics as
+    ``compute_flow_jit(init_flow=...)``; see MatchConfig.
 
     Arbitrary resolutions: when (H, W) is not tileable over the mesh
     (``check_tileable``), the frames are edge-padded bottom/right to
@@ -346,9 +392,16 @@ def compute_flow_sharded(
         pad = ((0, 0), (0, ph - h), (0, pw - w), (0, 0))
         imgs1 = jnp.pad(imgs1, pad, mode="edge")
         imgs2 = jnp.pad(imgs2, pad, mode="edge")
+        if init_flows is not None:
+            init_flows = jnp.pad(init_flows, pad, mode="edge")
     if keys is None:
         keys = jax.vmap(jax.random.fold_in, (None, 0))(
             jax.random.PRNGKey(cfg.seed), jnp.arange(B)
         )
-    out = _compute_flow_sharded_jit(imgs1, imgs2, keys, cfg, mesh)
+    if init_flows is not None:
+        out = _compute_flow_sharded_init_jit(
+            imgs1, imgs2, keys, init_flows, cfg, mesh
+        )
+    else:
+        out = _compute_flow_sharded_jit(imgs1, imgs2, keys, cfg, mesh)
     return out[:, :h, :w]

@@ -112,6 +112,41 @@ def test_eppmflow_init_flow_api(rng):
     assert np.isfinite(np.asarray(fl2)).all()
 
 
+def test_sharded_temporal_warm_start(rng):
+    """Warm start through the (1,2,2) mesh: the coarse level is
+    replicated, so the sharded warm result must agree with the
+    single-chip warm result at the usual cross-program gate."""
+    from eppm_tpu.parallel import compute_flow_sharded, make_mesh
+    from eppm_tpu.pipeline import compute_flow
+
+    base = _textured(rng, 64, 96)
+    img1, img2 = base, np.roll(base, (2, 4), axis=(0, 1))
+    gt = np.zeros((64, 96, 2), np.float32)
+    gt[..., 0], gt[..., 1] = 4.0, 2.0
+    cfg = _cfg(warm_skip_global=True)
+    key = jax.random.PRNGKey(cfg.seed)
+    single = np.asarray(
+        compute_flow(
+            jnp.asarray(img1), jnp.asarray(img2), key, cfg,
+            init_flow=jnp.asarray(gt),
+        )
+    )
+    mesh = make_mesh(batch=1, y=2, x=2)
+    tiled = np.asarray(
+        compute_flow_sharded(
+            jnp.asarray(img1)[None], jnp.asarray(img2)[None], mesh, cfg,
+            keys=key[None], init_flows=jnp.asarray(gt)[None],
+        )
+    )[0]
+    d = np.abs(tiled - single).max(axis=-1)
+    agree = (d < 1e-3).mean()
+    assert agree > 0.98, f"only {agree:.2%} of pixels agree"
+    assert float(np.mean(d)) < 0.05
+    b = 12
+    epe, _ = flow_error(tiled[b:-b, b:-b], gt[b:-b, b:-b])
+    assert epe < 0.8
+
+
 def test_cli_temporal_stream(rng, tmp_path):
     """--frames-dir --temporal end-to-end: writes one .flo per pair with
     the expected motion."""
