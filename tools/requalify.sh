@@ -18,6 +18,7 @@ run() {
 }
 run tpu_check      1800 python tools/tpu_check.py
 run bench          1800 python bench.py
+run stream_bench   1800 python tools/stream_bench.py
 run bench_table    3600 python tools/bench_table.py
 run profile_1080p  1800 python profile_stages.py 1080x1920
 run quality        3600 python tools/quality_report.py
