@@ -408,8 +408,20 @@ class EPPMConfig:
     # Optional subpixel refinement (quadratic fit on a half-pixel cost
     # grid, ops/subpixel.py) after the last integer refine.  The
     # reference allocates buffers for this stage but never calls it in
-    # its default path (.cpp:135-136) — default off to match.
+    # its default path (.cpp:135-136) — default off to match.  Measured:
+    # helps fractional-motion fields (affine 0.518 -> 0.447, rotation
+    # 0.487 -> 0.395) but regresses integer motion (5 px translation
+    # 0.264 -> 0.567); see dense_subpixel_fit for the free alternative.
     subpixel_refine: bool = False
+    # Near-free subpixel: 1-D parabola per axis through the residual
+    # search's own 3x3 costs where the center candidate wins
+    # (ops/dense.py), applied on the last refine pass of level 0 only.
+    # Zero extra cost evaluations.  Measured (PERF.md): small gain on
+    # fractional-motion fields (affine 0.492 vs 0.518), but the
+    # texture-biased fractional noise costs more on integer motion
+    # (mean 0.406 vs 0.348) — default off; the integer argmin + bilateral
+    # smoothing is the better subpixel estimator overall.
+    dense_subpixel_fit: bool = False
     # Iterative-warping passes per fine level: between passes the integer
     # flow is 3x3-median-filtered and frame 2 re-warped, making the
     # warp-approximated taps self-consistent (kills the +-1 px noise halo

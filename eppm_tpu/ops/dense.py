@@ -272,6 +272,7 @@ def dense_refine_flow(
     warped2: Optional[jnp.ndarray] = None,
     origin: Tuple = (0, 0),
     cand_shape: str = "square",
+    subpixel_fit: bool = False,
 ) -> jnp.ndarray:
     """Drop-in dense replacement for ``blf_refine_flow`` (ops/refine.py).
 
@@ -281,6 +282,14 @@ def dense_refine_flow(
     whose (exact) target falls outside frame 2 are skipped; ties keep the
     first-best in reference scan order — all matching the reference kernel
     (bao_pmflow_kernel.cu:2005-2041).
+
+    ``subpixel_fit`` adds a near-free subpixel estimate: where the center
+    candidate wins, a 1-D parabola through the three axis costs per
+    direction (already computed for the integer search) places the
+    minimum of the local cost surface on a continuous grid.  This is the
+    cheap counterpart of the reference's unused 5x5 half-pixel quadratic
+    stage (bao_pmflow_refine_kernel.cu:393-633): zero extra cost
+    evaluations, fractional only where the surface is locally convex.
 
     ``warped2`` lets callers supply a pre-warped pack; ``origin`` is the
     global position of the tile's top-left pixel (sharded fine levels run
@@ -322,5 +331,34 @@ def dense_refine_flow(
 
     out_u = (gx + best_dx).astype(jnp.float32)
     out_v = (gy + best_dy).astype(jnp.float32)
+
+    if subpixel_fit:
+        # Parabola through the axis-neighbor costs (center-out ordering
+        # puts (0,0) first; both square and plus shapes carry all four
+        # axis candidates at radius >= 1).  Applied only where (0,0) won
+        # and every sample is a real in-frame cost.
+        k_of = {off: k for k, off in enumerate(cand_offsets)}
+        masked = []
+        for off in [(0, 0), (0, -1), (0, 1), (-1, 0), (1, 0)]:
+            m, n = off
+            ty = ys + gy + m
+            tx = xs + gx + n
+            inb = (tx >= 0) & (tx < w2) & (ty >= 0) & (ty < h2)
+            masked.append(jnp.where(inb, costs[k_of[off]], FLT_MAX))
+        cc, cl, cr, cu, cd = masked
+        valid = (
+            (best_dy == 0) & (best_dx == 0)
+            & (cl < FLT_MAX) & (cr < FLT_MAX)
+            & (cu < FLT_MAX) & (cd < FLT_MAX)
+        )
+
+        def fit(lo, hi):
+            den = lo - 2.0 * cc + hi
+            d = 0.5 * (lo - hi) / jnp.maximum(den, 1e-8)
+            return jnp.where(den > 1e-8, jnp.clip(d, -0.5, 0.5), 0.0)
+
+        out_u = out_u + jnp.where(valid, fit(cl, cr), 0.0)
+        out_v = out_v + jnp.where(valid, fit(cu, cd), 0.0)
+
     out = jnp.stack([out_u, out_v], axis=-1)
     return jnp.where(unknown[..., None], 0.0, out)

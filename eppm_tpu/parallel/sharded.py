@@ -260,7 +260,7 @@ def _pair_flow_tiled(
             reach = max(cfg.dense_search_radius + tmax, cfg.cost.patch_radius)
             G = -(-reach // 8) * 8
 
-            def refine_tile(ft, med: bool):
+            def refine_tile(ft, med: bool, sub: bool = False):
                 fh = halo_exchange_2d(ft, G + 1, boundary="edge")
                 if med:
                     fh = median3_flow(fh)
@@ -272,12 +272,19 @@ def _pair_flow_tiled(
                     cfg.dense_pass2_planes if med else cfg.dense_pass1_planes,
                     cfg.cost_tap_chunk, origin=(y0 - G, x0 - G),
                     cand_shape=cfg.dense_cand_shape,
+                    subpixel_fit=sub,
                 )
                 return ext[G:-G, G:-G]
 
-            flow_tile = refine_tile(flow_tile, med=False)
-            for _ in range(cfg.dense_refine_passes - 1):
-                flow_tile = refine_tile(flow_tile, med=True)
+            # Subpixel parabola only on the last pass of level 0 (see
+            # pipeline.compute_flow)
+            n = cfg.dense_refine_passes
+            fit = cfg.dense_subpixel_fit and lvl == 0
+            flow_tile = refine_tile(flow_tile, med=False, sub=fit and n == 1)
+            for i in range(n - 1):
+                flow_tile = refine_tile(
+                    flow_tile, med=True, sub=fit and i == n - 2
+                )
         else:
             pack1_tile = _slice_tile_haloed(packs1[lvl], y0, x0, th, tw, R)
             flow_tile = blf_refine_flow(
