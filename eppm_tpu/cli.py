@@ -66,19 +66,13 @@ def apply_overrides(cfg: EPPMConfig, overrides: List[str]) -> EPPMConfig:
 
 
 def load_image(path: str) -> np.ndarray:
-    """Load a PPM/PGM (native loader) or anything PIL can read."""
-    from .io import read_ppm
+    """Load a PPM/PGM/PNG (self-contained codecs) or anything PIL reads."""
+    from .io import read_image
 
-    if path.lower().endswith((".ppm", ".pgm", ".pnm")):
-        return read_ppm(path)
     try:
-        from PIL import Image
-
-        return np.asarray(Image.open(path).convert("RGB"))
-    except ImportError as e:
-        raise SystemExit(
-            f"{path}: only PPM/PGM supported without PIL ({e})"
-        )
+        return read_image(path)
+    except ValueError as e:
+        raise SystemExit(str(e))
 
 
 def _force_requested_platform(jax):
@@ -155,10 +149,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         prog="eppm-tpu", description=__doc__,
         formatter_class=argparse.RawDescriptionHelpFormatter,
     )
-    p.add_argument("frame1", nargs="?", help="first frame (PPM or PIL-readable)")
+    p.add_argument("frame1", nargs="?", help="first frame (PPM/PGM/PNG or PIL-readable)")
     p.add_argument("frame2", nargs="?", help="second frame")
     p.add_argument("-o", "--out", help="write flow as .flo")
-    p.add_argument("--viz", help="write color-coded flow as .ppm")
+    p.add_argument("--viz", help="write color-coded flow as .ppm or .png")
     p.add_argument("--gt", help="ground-truth .flo for EPE/AAE evaluation")
     p.add_argument("--border", type=int, default=0,
                    help="border pixels to skip in evaluation")
@@ -203,15 +197,17 @@ def main(argv: Optional[List[str]] = None) -> int:
 
         _force_requested_platform(jax)
 
-        from .io import read_ppm_batch, write_flo
+        from .io import IMAGE_EXTS, read_image_batch, write_flo
         from .pipeline import compute_flow_jit
 
         names = sorted(
             f for f in os.listdir(args.frames_dir)
-            if f.lower().endswith((".ppm", ".pgm", ".pnm"))
+            if f.lower().endswith(IMAGE_EXTS)
         )
         if len(names) < 2:
-            raise SystemExit(f"{args.frames_dir}: need >= 2 PPM frames")
+            raise SystemExit(
+                f"{args.frames_dir}: need >= 2 frames ({'/'.join(IMAGE_EXTS)})"
+            )
         paths = [os.path.join(args.frames_dir, f) for f in names]
         if args.out_dir:
             os.makedirs(args.out_dir, exist_ok=True)
@@ -266,7 +262,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         prev = None
         prev_flow = None  # --temporal: previous pair's device-resident flow
         # warm-up compile on the first pair
-        first = read_ppm_batch(paths[:2])
+        first = read_image_batch(paths[:2])
         from .utils import with_recovery
 
         def _warm():
@@ -285,7 +281,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         _ = with_recovery(_warm, retries=1)()
         t0 = time.perf_counter()
         for start in range(0, len(paths), CHUNK):
-            frames = read_ppm_batch(paths[start : start + CHUNK])
+            frames = read_image_batch(paths[start : start + CHUNK])
             for k in range(frames.shape[0]):
                 cur = jnp.asarray(frames[k])
                 if prev is not None:
@@ -359,10 +355,17 @@ def main(argv: Optional[List[str]] = None) -> int:
     if args.viz:
         import jax.numpy as jnp
 
-        from .io import write_ppm
         from .ops.color import flow_to_color
 
-        write_ppm(args.viz, np.asarray(flow_to_color(jnp.asarray(flow))))
+        rgb = np.asarray(flow_to_color(jnp.asarray(flow)))
+        if args.viz.lower().endswith(".png"):
+            from .io.png import write_png
+
+            write_png(args.viz, rgb)
+        else:
+            from .io import write_ppm
+
+            write_ppm(args.viz, rgb)
         report["viz"] = args.viz
     if args.gt:
         report.update(_evaluate(flow, args.gt, args.border))

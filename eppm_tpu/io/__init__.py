@@ -13,8 +13,10 @@ from .ppm import read_ppm as _read_ppm_py, write_ppm as _write_ppm_py
 
 __all__ = [
     "read_ppm", "write_ppm", "read_flo", "write_flo", "read_ppm_batch",
-    "native_available",
+    "read_image", "read_image_batch", "native_available",
 ]
+
+IMAGE_EXTS = (".ppm", ".pgm", ".pnm", ".png")
 
 
 def native_available() -> bool:
@@ -63,3 +65,51 @@ def read_ppm_batch(paths, nthreads: int = 0):
     import numpy as np
 
     return np.stack([read_ppm(p) for p in paths])
+
+
+def read_image(path: str):
+    """Load a frame as (H, W, 3) uint8 RGB: PPM/PGM (native loader),
+    PNG (io/png.py codec — covers Sintel 8-bit frames), or anything PIL
+    can read as a last resort."""
+    import numpy as np
+
+    low = path.lower()
+    if low.endswith((".ppm", ".pgm", ".pnm")):
+        img = read_ppm(path)
+    elif low.endswith(".png"):
+        from .png import read_png
+
+        img = read_png(path)
+        if img.dtype == np.uint16:
+            img = (img // 257).astype(np.uint8)
+    else:
+        try:
+            from PIL import Image
+
+            return np.asarray(Image.open(path).convert("RGB"))
+        except ImportError as e:
+            raise ValueError(
+                f"{path}: only PPM/PGM/PNG supported without PIL ({e})"
+            )
+    if img.ndim == 2:
+        img = np.repeat(img[..., None], 3, axis=2)
+    elif img.shape[2] == 4:
+        img = img[..., :3]
+    return np.ascontiguousarray(img)
+
+
+def read_image_batch(paths, nthreads: int = 0):
+    """(N, H, W, 3) uint8 stack of same-shaped frames of any supported
+    format.  All-PPM batches go through the native threaded decoder;
+    mixed/PNG batches decode on a thread pool (zlib releases the GIL)."""
+    paths = list(paths)
+    if all(p.lower().endswith((".ppm", ".pgm", ".pnm")) for p in paths):
+        return read_ppm_batch(paths, nthreads)
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    import numpy as np
+
+    nthreads = nthreads or min(8, os.cpu_count() or 1)
+    with ThreadPoolExecutor(max_workers=nthreads) as ex:
+        return np.stack(list(ex.map(read_image, paths)))

@@ -329,7 +329,7 @@ def _write_filtered_png16(path, img):
     import struct
     import zlib
 
-    from eppm_tpu.io.kitti import _SIG, _chunk
+    from eppm_tpu.io.png import _SIG, _chunk
 
     h, w = img.shape[:2]
     bpp = 6
@@ -387,7 +387,8 @@ def test_kitti_png_all_filters(tmp_path, monkeypatch):
 def test_kitti_png_missing_ihdr(tmp_path):
     import zlib
 
-    from eppm_tpu.io.kitti import _SIG, _chunk, read_png16
+    from eppm_tpu.io.kitti import read_png16
+    from eppm_tpu.io.png import _SIG, _chunk
 
     p = str(tmp_path / "noihdr.png")
     with open(p, "wb") as f:
@@ -406,3 +407,118 @@ def test_cli_override_rejects_non_field():
 
     with pytest.raises(SystemExit, match="unknown config field"):
         apply_overrides(DEFAULT_CONFIG, ["lr_thresh=3"])
+
+
+def test_dense_subpixel_fit_knob(rng):
+    """dense_subpixel_fit produces a finite, fractional flow on a
+    fractional-motion pair and leaves the default path untouched when
+    off (it is opt-in; see PERF.md 'Subpixel variants')."""
+    import dataclasses
+
+    from eppm_tpu.config import EPPMConfig, PyramidConfig, RefineConfig
+    from eppm_tpu.pipeline import compute_flow_jit
+
+    small = rng.random((26, 34, 3)).astype(np.float32)
+    img2 = np.asarray(
+        jax.image.resize(jnp.asarray(small), (104, 136, 3), "cubic")
+    ).clip(0, 1)
+    # fractional shift by resampling: flow ~ (1.5, 0)
+    xs = np.clip(np.arange(136) + 1.5, 0, 135)
+    x0 = np.floor(xs).astype(int)
+    x1 = np.minimum(x0 + 1, 135)
+    a = (xs - x0)[None, :, None]
+    img1 = (1 - a) * img2[:, x0] + a * img2[:, x1]
+    cfg = EPPMConfig(
+        pyramid=PyramidConfig(max_depth=2),
+        refine=RefineConfig(wmf_coarse_iters=3),
+    )
+    base = np.asarray(
+        compute_flow_jit(jnp.asarray(img1), jnp.asarray(img2), cfg=cfg)
+    )
+    cfg_fit = dataclasses.replace(cfg, dense_subpixel_fit=True)
+    fit = np.asarray(
+        compute_flow_jit(jnp.asarray(img1), jnp.asarray(img2), cfg=cfg_fit)
+    )
+    assert np.isfinite(fit).all()
+    # the fit must actually move some pixels off the base field
+    assert np.abs(fit - base).max() > 0
+    b = 12
+    err_base = np.abs(base[b:-b, b:-b, 0] - 1.5).mean()
+    err_fit = np.abs(fit[b:-b, b:-b, 0] - 1.5).mean()
+    # on pure fractional translation the parabola should not be worse
+    assert err_fit < err_base + 0.05
+
+
+def test_png_codec_variants(tmp_path, monkeypatch):
+    """8/16-bit gray/RGB/RGBA round-trips through the generic PNG codec
+    (io/png.py), via both the native unfilter and the NumPy fallback."""
+    from eppm_tpu.io import native as native_mod
+    from eppm_tpu.io.png import read_png, write_png
+
+    rng2 = np.random.default_rng(11)
+    cases = [
+        rng2.integers(0, 256, (9, 13), dtype=np.uint8),          # gray8
+        rng2.integers(0, 256, (9, 13, 3), dtype=np.uint8),       # rgb8
+        rng2.integers(0, 256, (9, 13, 4), dtype=np.uint8),       # rgba8
+        rng2.integers(0, 65536, (9, 13), dtype=np.uint16),       # gray16
+        rng2.integers(0, 65536, (9, 13, 3), dtype=np.uint16),    # rgb16
+    ]
+    for i, img in enumerate(cases):
+        p = str(tmp_path / f"c{i}.png")
+        write_png(p, img)
+        np.testing.assert_array_equal(read_png(p), img)
+    monkeypatch.setattr(native_mod, "png_unfilter_native", lambda *a: None)
+    for i, img in enumerate(cases):
+        np.testing.assert_array_equal(
+            read_png(str(tmp_path / f"c{i}.png")), img
+        )
+
+
+def test_read_image_normalizes(tmp_path):
+    """read_image returns (H, W, 3) uint8 for gray, RGBA and 16-bit PNGs
+    (Sintel-style frame ingestion, BASELINE Sintel config)."""
+    from eppm_tpu.io import read_image
+    from eppm_tpu.io.png import write_png
+
+    rng2 = np.random.default_rng(12)
+    gray = rng2.integers(0, 256, (7, 8), dtype=np.uint8)
+    write_png(str(tmp_path / "g.png"), gray)
+    out = read_image(str(tmp_path / "g.png"))
+    assert out.shape == (7, 8, 3) and (out[..., 0] == gray).all()
+
+    rgba = rng2.integers(0, 256, (7, 8, 4), dtype=np.uint8)
+    write_png(str(tmp_path / "a.png"), rgba)
+    out = read_image(str(tmp_path / "a.png"))
+    np.testing.assert_array_equal(out, rgba[..., :3])
+
+    deep = rng2.integers(0, 65536, (7, 8, 3), dtype=np.uint16)
+    write_png(str(tmp_path / "d.png"), deep)
+    out = read_image(str(tmp_path / "d.png"))
+    np.testing.assert_array_equal(out, (deep // 257).astype(np.uint8))
+
+
+def test_cli_stream_mode_png(tmp_path, rng):
+    """Streaming consumes PNG frame sequences (Sintel-style) end-to-end."""
+    from eppm_tpu.cli import main as cli_main
+    from eppm_tpu.io.flo import read_flo
+    from eppm_tpu.io.png import write_png
+
+    frames_dir = tmp_path / "frames"
+    out_dir = tmp_path / "flows"
+    frames_dir.mkdir()
+    img = (np.clip(_textured(rng, 48, 64), 0, 1) * 255).astype(np.uint8)
+    for i in range(3):
+        write_png(str(frames_dir / f"f{i}.png"), np.roll(img, -2 * i, 1))
+    rc = cli_main([
+        "--frames-dir", str(frames_dir), "--out-dir", str(out_dir),
+        "--set", "pyramid.max_depth=2",
+        "--set", "refine.wmf_coarse_iters=2",
+    ])
+    assert rc == 0
+    flows = sorted(out_dir.iterdir())
+    assert len(flows) == 2
+    f = read_flo(str(flows[0]))
+    assert f.shape == (48, 64, 2) and np.isfinite(f).all()
+    b = 8
+    # known motion: -2 px horizontal per frame
+    assert abs(np.median(f[b:-b, b:-b, 0]) - (-2.0)) < 0.75
