@@ -15,6 +15,8 @@ faster than the reference-class implementation.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -23,7 +25,50 @@ import numpy as np
 BASELINE_FPS = 4.0
 
 
+def _backend_alive(timeout_s: float = 150.0) -> bool:
+    """Probe device-backend init in a subprocess.
+
+    When the axon tunnel is hard-down, backend *init* (not just compute)
+    blocks indefinitely in every process whose sitecustomize registers
+    the plugin — an in-process probe would wedge this script.  A
+    subprocess with a timeout is the only safe probe.
+    """
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True, timeout=timeout_s,
+        )
+        return r.returncode == 0
+    except (OSError, subprocess.SubprocessError):
+        return False
+
+
+def _maybe_cpu_fallback() -> bool:
+    """If the device backend is unreachable, re-exec on CPU (labeled).
+
+    Returns True when already running in fallback mode.  Bounded retry
+    (3 probes over ~7 min) so a transient tunnel blip doesn't demote the
+    round's benchmark to CPU.
+    """
+    if os.environ.get("EPPM_BENCH_CPU_FALLBACK"):
+        return True
+    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        return False  # explicit CPU run, not a fallback
+    for attempt in range(3):
+        if _backend_alive():
+            return False
+        if attempt < 2:
+            time.sleep(60)
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["JAX_PLATFORMS"] = "cpu"
+    env["EPPM_BENCH_CPU_FALLBACK"] = "1"
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
+    return True  # unreachable
+
+
 def main() -> None:
+    cpu_fallback = _maybe_cpu_fallback()
+
     import jax
     import jax.numpy as jnp
 
@@ -45,7 +90,7 @@ def main() -> None:
     # Streaming throughput (the production serving shape): submit N pairs
     # back-to-back — JAX async dispatch pipelines device compute with the
     # host readbacks — and count wall time for all results on host.
-    N = 8
+    N = 2 if cpu_fallback else 8
     keys = [jax.random.PRNGKey(1234 + i) for i in range(N)]
     # stable_throughput: a TPU worker recovering from a prior process
     # crash serves the first seconds of traffic 10-20x degraded (measured
@@ -60,7 +105,7 @@ def main() -> None:
         outs[:] = [np.asarray(f) for f in flows]
         return outs
 
-    best = stable_throughput(run_batch) / N
+    best = stable_throughput(run_batch, max_batches=2 if cpu_fallback else 6) / N
     flow = outs[0]
     fps = 1.0 / best
 
@@ -104,16 +149,18 @@ def main() -> None:
         )
         return
 
-    print(
-        json.dumps(
-            {
-                "metric": "grove_640x480_fps",
-                "value": round(fps, 4),
-                "unit": "frames/sec",
-                "vs_baseline": round(fps / BASELINE_FPS, 4),
-            }
+    line = {
+        "metric": "grove_640x480_fps",
+        "value": round(fps, 4),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / BASELINE_FPS, 4),
+    }
+    if cpu_fallback:
+        line["error"] = (
+            "TPU backend unreachable (axon tunnel down); value is a "
+            "CPU-fallback measurement, not a TPU number"
         )
-    )
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -27,9 +27,12 @@ _TRIED = False
 
 
 def _lib_path() -> str:
-    root = os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))))
-    return os.path.join(root, "native", "libeppm_io.so")
+    pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # Installed layout: setup.py ships the library as package data.
+    installed = os.path.join(pkg, "libeppm_io.so")
+    if os.path.exists(installed):
+        return installed
+    return os.path.join(os.path.dirname(pkg), "native", "libeppm_io.so")
 
 
 def _try_build(path: str) -> None:
