@@ -119,7 +119,8 @@ def main():
         "Synthetic ground-truth warps (240x320, interior-cropped EPE/AAE/"
         "bad3) and the bundled Grove pair (photometric warp error; the\n"
         "reference ships no GT .flo and no binary runnable here — "
-        "SURVEY.md §4).  Default parameters, seed 1234, single TPU chip.\n\n"
+        "SURVEY.md §4).  Default parameters, seed 1234, single device "
+        f"({jax.default_backend()}; EPE is platform-independent).\n\n"
         "| case | dense EPE | dense AAE° | dense bad3 | PM EPE | PM AAE° | PM bad3 |\n"
         "|---|---|---|---|---|---|---|\n"
     )
