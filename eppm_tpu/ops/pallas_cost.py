@@ -212,14 +212,6 @@ def _cost_kernel_sep(
     c1r = p1_ref[0, HY : HY + TH, HX : HX + TW]
     c1g = p1_ref[1, HY : HY + TH, HX : HX + TW]
     c1b = p1_ref[2, HY : HY + TH, HX : HX + TW]
-    centers2 = [
-        (
-            w2_ref[0, HY + cy : HY + cy + TH, HX + cx : HX + cx + TW],
-            w2_ref[1, HY + cy : HY + cy + TH, HX + cx : HX + cx + TW],
-            w2_ref[2, HY + cy : HY + cy + TH, HX + cx : HX + cx + TW],
-        )
-        for (cy, cx) in cands
-    ]
 
     acc_ref[:] = jnp.zeros((2 * K, TH, TW), jnp.float32)
 
@@ -231,7 +223,6 @@ def _cost_kernel_sep(
         w2s_ref[:] = pltpu.roll(w2_ref[:], sh, 1)[
             :, HY - 8 : HY + TH + 8, :
         ]
-        accs = [acc_ref[i] for i in range(2 * K)]
         for dx, gx in zip(dxs, gxs):
             r1 = p1s_ref[0, :, HX + dx : HX + dx + TW]
             g1 = p1s_ref[1, :, HX + dx : HX + dx + TW]
@@ -259,16 +250,22 @@ def _cost_kernel_sep(
                 x = (x & 0x33) + ((x >> 2) & 0x33)
                 ham = ((x + (x >> 4)) & 0x0F).astype(jnp.float32)
                 c_cen = 1.0 - jnp.exp(-(ham * ham) * (1.0 / lam_cen2))
-                k2r, k2g, k2b = centers2[k]
+                # center-of-candidate slices re-read per use: ref loads
+                # are cheap, and precomputing 3K live slices blows the
+                # Mosaic vmem stack at K=49 (measured: 30M vs 16M limit)
+                k2r = w2_ref[0, HY + cy : HY + cy + TH, HX + cx : HX + cx + TW]
+                k2g = w2_ref[1, HY + cy : HY + cy + TH, HX + cx : HX + cx + TW]
+                k2b = w2_ref[2, HY + cy : HY + cy + TH, HX + cx : HX + cx + TW]
                 dr2 = jnp.maximum(
                     jnp.maximum(jnp.abs(k2r - r2), jnp.abs(k2g - g2)),
                     jnp.abs(k2b - b2),
                 )
                 wgt = jnp.exp(-(dr2 * dr2) * inv_sig_r2) * e1
-                accs[2 * k] = accs[2 * k] + wgt * (c_ad + c_cen)
-                accs[2 * k + 1] = accs[2 * k + 1] + wgt
-        for i in range(2 * K):
-            acc_ref[i] = accs[i]
+                # accumulate by read-modify-write on the scratch ref —
+                # holding 2K accumulators as live values across the
+                # unrolled loop is the other half of the stack blow-up
+                acc_ref[2 * k] = acc_ref[2 * k] + wgt * (c_ad + c_cen)
+                acc_ref[2 * k + 1] = acc_ref[2 * k + 1] + wgt
         return 0
 
     jax.lax.fori_loop(0, n_dys, dy_body, 0)
