@@ -8,7 +8,25 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["shift2d", "grid", "popcount8", "round_up", "on_tpu"]
+__all__ = [
+    "shift2d", "grid", "popcount8", "round_up", "on_tpu", "tpu_params",
+]
+
+
+def tpu_params(vmem_limit_mb: int = 100):
+    """Mosaic compiler params shared by the Pallas kernels.
+
+    The default scoped-VMEM budget (16 MiB) is sized for compiler-managed
+    double buffering; these kernels manage their own DMA windows and their
+    roll/slab temporaries legitimately need more stack (measured: the
+    separable smoothing kernel peaks at ~19 MiB of scoped VMEM at 640x480
+    level-1 tiles).  v5e has 128 MiB of VMEM per core; 100 MiB leaves
+    room for the explicitly-declared scratch windows."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=vmem_limit_mb * 1024 * 1024
+    )
 
 
 def shift2d(a: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:

@@ -47,7 +47,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import CostConfig
-from ._util import on_tpu as _on_tpu, round_up as _round_up
+from ._util import (
+    on_tpu as _on_tpu,
+    round_up as _round_up,
+    tpu_params as _tpu_params,
+)
 from .cost import plane_offsets
 
 __all__ = ["residual_costs_pallas", "residual_costs_auto"]
@@ -360,6 +364,7 @@ def _residual_costs_sep(
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
+        compiler_params=_tpu_params(),
         out_shape=jax.ShapeDtypeStruct((K, hp, wp), jnp.float32),
         interpret=interpret,
     )(jnp.asarray(dys), jnp.asarray(gys), pack1p, warped2p)
@@ -469,6 +474,7 @@ def residual_costs_pallas(
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
+        compiler_params=_tpu_params(),
         out_shape=jax.ShapeDtypeStruct((K * T, hp, wp), jnp.float32),
     )(jnp.asarray(taps_arr), jnp.asarray(gws_arr), pack1p, warped2p)
 
@@ -562,6 +568,7 @@ def residual_costs_multiwarp_pallas(
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
+        compiler_params=_tpu_params(),
         out_shape=jax.ShapeDtypeStruct((K, hp, wp), jnp.float32),
     )(jnp.asarray(taps_arr), jnp.asarray(gws_arr), pack1p, warpedp)
     return out[:, :h, :w]

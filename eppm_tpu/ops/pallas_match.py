@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ._util import round_up as _round_up
+from ._util import round_up as _round_up, tpu_params as _tpu_params
 
 __all__ = ["global_argmax_pallas"]
 
@@ -152,6 +152,7 @@ def global_argmax_pallas(
             pltpu.SemaphoreType.DMA((2,)),
         ],
         out_shape=jax.ShapeDtypeStruct((8, n1p), jnp.float32),
+        compiler_params=_tpu_params(),
     )(d1, d2)
 
     best_i = out[1, :n1].astype(jnp.int32)

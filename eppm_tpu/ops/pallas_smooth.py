@@ -26,7 +26,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import UNKNOWN_FLOW, UNKNOWN_FLOW_THRESH, RefineConfig
-from ._util import on_tpu as _on_tpu, round_up as _round_up
+from ._util import (
+    on_tpu as _on_tpu,
+    round_up as _round_up,
+    tpu_params as _tpu_params,
+)
 
 __all__ = ["flow_smoothing_pallas", "flow_smoothing_auto"]
 
@@ -183,6 +187,7 @@ def flow_smoothing_pallas(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((2, hp, wp), jnp.float32),
+        compiler_params=_tpu_params(),
         interpret=interpret,
     )(jnp.asarray(dys), jnp.asarray(gys), statep)
     return jnp.stack([out[0, :h, :w], out[1, :h, :w]], axis=-1)

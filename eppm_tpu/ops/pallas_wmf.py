@@ -36,7 +36,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import FLT_MAX, RefineConfig
-from ._util import on_tpu as _on_tpu, round_up as _round_up
+from ._util import (
+    on_tpu as _on_tpu,
+    round_up as _round_up,
+    tpu_params as _tpu_params,
+)
 
 __all__ = ["weighted_median_filter_pallas", "weighted_median_filter_auto"]
 
@@ -249,6 +253,7 @@ def weighted_median_filter_pallas(
     ox2, oy2, v2 = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
+        compiler_params=_tpu_params(),
         out_shape=[jax.ShapeDtypeStruct((HP, WP), jnp.float32)] * 3,
     )(offs_arr, oxp, oyp, vp, wimg)
 
@@ -465,6 +470,7 @@ def _wmf_tiled(
     call = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
+        compiler_params=_tpu_params(),
         out_shape=[jax.ShapeDtypeStruct((hp, wp), jnp.float32)] * 3,
     )
 
