@@ -7,6 +7,14 @@ recipe.  Must run before jax is imported anywhere.
 
 import os
 
+# The persistent compile cache is a steady-state serving optimization; under
+# pytest it adds a cache *write* (zstd compress inside the JAX internals) for
+# every freshly compiled program, and a full-suite run on this host has
+# segfaulted inside that write path (compilation_cache.put_executable_and_time,
+# reproduced twice at round 2, rc=139).  Tests compile hundreds of tiny
+# programs that are never reused across runs anyway — disable the cache.
+os.environ.setdefault("EPPM_TPU_NO_COMPILE_CACHE", "1")
+
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:

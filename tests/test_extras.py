@@ -270,6 +270,7 @@ def test_bad_pixel_error_map():
     assert 0.0 < rate < 1.0
 
 
+@pytest.mark.slow
 def test_cli_stream_mode(tmp_path, rng):
     """Streaming video mode: N frames -> N-1 .flo files."""
     from eppm_tpu.cli import main as cli_main
@@ -409,6 +410,7 @@ def test_cli_override_rejects_non_field():
         apply_overrides(DEFAULT_CONFIG, ["lr_thresh=3"])
 
 
+@pytest.mark.slow
 def test_dense_subpixel_fit_knob(rng):
     """dense_subpixel_fit produces a finite, fractional flow on a
     fractional-motion pair and leaves the default path untouched when

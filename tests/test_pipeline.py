@@ -60,6 +60,7 @@ def _warp(img, flow):
     ).astype(np.float32)
 
 
+@pytest.mark.slow
 def test_uniform_shift_epe(rng):
     h, w, sx, sy = 64, 80, 5, 3
     img2 = _textured(rng, h, w)
@@ -90,6 +91,7 @@ def test_smooth_flow_epe(rng):
     assert epe < 1.5, f"smooth-flow EPE {epe:.3f}"
 
 
+@pytest.mark.slow
 def test_pipeline_deterministic(rng):
     h, w = 48, 64
     img2 = _textured(rng, h, w)
@@ -100,6 +102,7 @@ def test_pipeline_deterministic(rng):
     np.testing.assert_array_equal(f1, f2)
 
 
+@pytest.mark.slow
 def test_pipeline_uint8_input(rng):
     h, w = 48, 64
     img2 = (_textured(rng, h, w) * 255).astype(np.uint8)
@@ -113,6 +116,7 @@ def test_pipeline_uint8_input(rng):
     assert abs(np.median(flow[b:-b, b:-b, 0]) - 3.0) <= 1.0
 
 
+@pytest.mark.slow
 def test_object_api(rng):
     h, w = 48, 64
     img2 = (_textured(rng, h, w) * 255).astype(np.uint8)
@@ -128,6 +132,7 @@ def test_object_api(rng):
     assert np.isfinite(flow).all()
 
 
+@pytest.mark.slow
 def test_fine_level_wmf_option(rng):
     """The 'intended' fine-level WMF path also produces sane flow."""
     h, w = 48, 64
@@ -144,6 +149,7 @@ def test_fine_level_wmf_option(rng):
     assert abs(np.median(flow[b:-b, b:-b, 0]) - 3.0) <= 1.0
 
 
+@pytest.mark.slow
 def test_staged_pipeline_matches_one_program(rng, monkeypatch):
     """The >1M-pixel staged execution path, forced on a small image, must
     agree with the monolithic program at the decision level (see
@@ -167,10 +173,97 @@ def test_staged_pipeline_matches_one_program(rng, monkeypatch):
     assert float(np.mean(d)) < 0.2
 
 
+def test_staged_refine_disagreements_are_ties(rng):
+    """Tie-proof companion of test_staged_pipeline_matches_one_program:
+    the staged path compiles each refine pass as its own XLA program while
+    the monolithic path fuses it with the surrounding stages, so the two
+    can reassociate the cost reductions differently.  The quantization
+    grid (2^-17, ops/dense.py residual_costs) is supposed to make the
+    *decisions* agree or tie.  Prove it at the decision stage: run one
+    refine pass from a shared input flow (a) standalone-jitted (staged
+    context) and (b) fused inside a bigger jit between upsample and
+    smoothing (monolithic context), then score both outputs' chosen
+    offsets with one oracle evaluation — disagreements must be exact
+    quantized-cost ties.  (The pipeline outputs themselves stay under the
+    statistical gate: smoothing diffuses tie differences spatially.)"""
+    from eppm_tpu.config import DEFAULT_CONFIG
+    from eppm_tpu.ops.census import census_transform
+    from eppm_tpu.ops.cost import pack_frame
+    from eppm_tpu.ops.dense import (
+        center_out_offsets,
+        dense_refine_flow,
+        residual_costs,
+        warp_pack,
+    )
+    from eppm_tpu.ops.pallas_smooth import flow_smoothing_auto
+    from eppm_tpu.ops.resize import bilinear_resize
+
+    cfg = DEFAULT_CONFIG
+    h, w = 64, 96
+    img2 = _textured(rng, h, w)
+    img1 = np.roll(img2, (-3, -2), axis=(1, 0))
+    p1 = pack_frame(jnp.asarray(img1), census_transform(jnp.asarray(img1)))
+    p2 = pack_frame(jnp.asarray(img2), census_transform(jnp.asarray(img2)))
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    base = np.stack(
+        [2.0 + 0.02 * xs + 0.5 * np.sin(ys / 9.0),
+         3.0 - 0.015 * ys + 0.5 * np.cos(xs / 11.0)], axis=-1
+    )
+    coarse = jnp.asarray(base[::2, ::2] * 0.5)
+
+    up = lambda f: bilinear_resize(f, h, w, 2.0) * 2.0
+    refine = lambda f: dense_refine_flow(
+        f, p1, p2, cfg.cost, cfg.dense_search_radius,
+        cfg.dense_pass1_planes, cfg.cost_tap_chunk,
+        cand_shape=cfg.dense_cand_shape,
+    )
+    flow_in = jax.jit(up)(coarse)
+    standalone = np.asarray(jax.jit(refine)(flow_in))
+
+    # monolithic context: upsample + refine + smoothing in ONE program;
+    # the refine output rides out alongside so decisions are observable
+    def fused(c):
+        f = up(c)
+        r = refine(f)
+        return r, flow_smoothing_auto(r, jnp.asarray(img1), cfg.refine)
+
+    fused_refine = np.asarray(jax.jit(fused)(coarse)[0])
+
+    fin = np.asarray(flow_in)
+    g = np.trunc(fin).astype(np.int32)
+    warped = warp_pack(p2, jnp.asarray(g[..., 0]), jnp.asarray(g[..., 1]))
+    cands = center_out_offsets(cfg.dense_search_radius, cfg.dense_cand_shape)
+    costs = np.asarray(
+        jax.jit(
+            lambda: residual_costs(
+                p1, warped, cands, cfg.cost, cfg.dense_pass1_planes,
+                cfg.cost_tap_chunk,
+            )
+        )()
+    )
+    k_of = {off: k for k, off in enumerate(cands)}
+
+    def chosen_cost(out):
+        dx = out[..., 0].astype(np.int32) - g[..., 0]
+        dy = out[..., 1].astype(np.int32) - g[..., 1]
+        k = np.vectorize(lambda a, b: k_of[(a, b)])(dy, dx)
+        return np.take_along_axis(costs, k[None], axis=0)[0]
+
+    disagree = np.abs(fused_refine - standalone).max(axis=-1) > 0
+    if disagree.any():
+        ca = chosen_cost(standalone)
+        cb = chosen_cost(fused_refine)
+        bad = disagree & (ca != cb)
+        assert not bad.any(), (
+            f"{bad.sum()} disagreeing pixels are NOT cost ties"
+        )
+
+
 @pytest.mark.parametrize(
     "variant",
     ["patchmatch", "gather", "fine_wmf", "subpixel"],
 )
+@pytest.mark.slow
 def test_staged_pipeline_all_variants(rng, monkeypatch, variant):
     """Every non-default option must run through the staged path (at
     1080p+ the one-program path faults the TPU worker; the staged path

@@ -109,6 +109,7 @@ def test_check_tileable():
         check_tileable(60, 96, cfg, 2, 2)  # 60 -> 30 -> 15 not divisible
 
 
+@pytest.mark.slow
 def test_sharded_matches_single_chip(rng):
     """Tiled (1,2,2) vs single chip, same key: quality-equal + per-program
     deterministic.
@@ -148,6 +149,7 @@ def test_sharded_matches_single_chip(rng):
     np.testing.assert_array_equal(run(), tiled)
 
 
+@pytest.mark.slow
 def test_sharded_mesh_shape_invariance(rng):
     """The result must not depend on how the frame is tiled: (1,2),
     (2,1) and (2,2) meshes must produce identical flow.  A halo-exchange
@@ -210,6 +212,113 @@ def test_sharded_pad_to_tileable(rng):
         )
 
 
+@pytest.mark.slow
+def test_sharded_refine_disagreements_are_ties(rng):
+    """Tie-proof for the cross-program gates: the only stage where the
+    partitioning can change a *decision* (not just reassociate float
+    noise below the 1e-3 gate) is the fine-level residual argmin.  Run it
+    from one shared input flow as (a) the monolithic full-frame program
+    and (b) the sharded tile program with halo G (exactly as
+    parallel/sharded.py runs it), then score BOTH programs' chosen
+    offsets with a single oracle evaluation (ops/dense.residual_costs,
+    quantized to the 2^-17 grid): every pixel where the decisions differ
+    must be an exact quantized-cost tie.  This turns the statistical
+    98%-agreement gates into a proof that disagreements are ties — the
+    downstream smoothing is decision-free dense math, so output-level
+    differences can only originate here (or in the replicated coarse
+    stage, which is decision-identical by construction: same program,
+    same inputs on every device).
+    """
+    from eppm_tpu.config import DEFAULT_CONFIG
+    from eppm_tpu.ops.census import census_transform
+    from eppm_tpu.ops.cost import pack_frame
+    from eppm_tpu.ops.dense import (
+        center_out_offsets,
+        dense_refine_flow,
+        residual_costs,
+        warp_pack,
+    )
+    from eppm_tpu.parallel.halo import halo_exchange_2d
+    from eppm_tpu.parallel.sharded import _slice_tile_haloed
+
+    cfg = DEFAULT_CONFIG
+    h, w = 64, 96
+    img2 = _textured(rng, h, w)
+    img1 = np.roll(img2, (-3, -2), axis=(1, 0))
+    p1 = pack_frame(jnp.asarray(img1), census_transform(jnp.asarray(img1)))
+    p2 = pack_frame(jnp.asarray(img2), census_transform(jnp.asarray(img2)))
+    # a smooth but non-constant input flow (what the upsample hands over)
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    base = np.stack(
+        [2.0 + 0.02 * xs + 0.5 * np.sin(ys / 9.0),
+         3.0 - 0.015 * ys + 0.5 * np.cos(xs / 11.0)], axis=-1
+    )
+    flow = jnp.asarray(base)
+
+    refine = lambda f, pk1, origin: dense_refine_flow(
+        f, pk1, p2, cfg.cost, cfg.dense_search_radius,
+        cfg.dense_pass1_planes, cfg.cost_tap_chunk, origin=origin,
+        cand_shape=cfg.dense_cand_shape,
+    )
+    single = np.asarray(jax.jit(lambda f: refine(f, p1, (0, 0)))(flow))
+
+    reach = max(cfg.dense_search_radius, cfg.cost.patch_radius)
+    G = -(-reach // 8) * 8
+    mesh = make_mesh(batch=1, y=2, x=2)
+
+    def tile_fn(f, pk1):
+        iy = jax.lax.axis_index("y")
+        ix = jax.lax.axis_index("x")
+        th, tw = h // 2, w // 2
+        y0, x0 = iy * th, ix * tw
+        fh = halo_exchange_2d(f[0], G, boundary="edge")
+        p1h = _slice_tile_haloed(pk1[0], y0, x0, th, tw, G)
+        ext = refine(fh, p1h, (y0 - G, x0 - G))
+        return ext[None, G:-G, G:-G]
+
+    tiled = np.asarray(
+        shard_map(
+            tile_fn,
+            mesh=mesh,
+            in_specs=(P(None, "y", "x", None), P(None, None, None, None)),
+            out_specs=P(None, "y", "x", None),
+            check_vma=False,
+        )(flow[None], p1[None])
+    )[0]
+
+    # oracle: one program scores every candidate for both outputs
+    unknown = base > 1e9
+    g = np.trunc(np.where(unknown, 0.0, base)).astype(np.int32)
+    warped = warp_pack(p2, jnp.asarray(g[..., 0]), jnp.asarray(g[..., 1]))
+    cands = center_out_offsets(cfg.dense_search_radius, cfg.dense_cand_shape)
+    costs = np.asarray(
+        jax.jit(
+            lambda: residual_costs(
+                p1, warped, cands, cfg.cost, cfg.dense_pass1_planes,
+                cfg.cost_tap_chunk,
+            )
+        )()
+    )
+    k_of = {off: k for k, off in enumerate(cands)}
+
+    def chosen_cost(out):
+        dx = out[..., 0].astype(np.int32) - g[..., 0]
+        dy = out[..., 1].astype(np.int32) - g[..., 1]
+        k = np.vectorize(lambda a, b: k_of[(a, b)])(dy, dx)
+        return np.take_along_axis(costs, k[None], axis=0)[0]
+
+    disagree = np.abs(tiled - single).max(axis=-1) > 0
+    if disagree.any():
+        ca = chosen_cost(single)
+        cb = chosen_cost(tiled)
+        bad = disagree & (ca != cb)
+        assert not bad.any(), (
+            f"{bad.sum()} disagreeing pixels are NOT cost ties "
+            f"(max |dc|={np.abs(ca - cb)[disagree].max():.3e})"
+        )
+
+
+@pytest.mark.slow
 def test_sharded_batch_parallel(rng):
     """Batch sharding: each pair's flow matches its single-chip result at
     the decision level (see test_sharded_matches_single_chip for why
@@ -240,6 +349,7 @@ def test_sharded_batch_parallel(rng):
         assert float(np.mean(d)) < 0.3, f"pair {i}: mean {np.mean(d):.3f}"
 
 
+@pytest.mark.slow
 def test_full_3axis_mesh(rng):
     """(batch=2, y=2, x=2) = all 8 devices at once."""
     cfg = _cfg(depth=2)
@@ -256,6 +366,7 @@ def test_full_3axis_mesh(rng):
     assert abs(np.median(out[0, b:-b, b:-b, 0]) - 2.0) <= 1.0
 
 
+@pytest.mark.slow
 def test_sharded_plus_cand_shape(rng):
     """dense_cand_shape="plus" through the sharded path: mesh-shape
     invariant and agreeing with the single-chip program (same gates as

@@ -42,6 +42,7 @@ def _cfg(**match_kw):
     )
 
 
+@pytest.mark.slow
 def test_warm_skip_global_matches_cold(rng):
     """Pair 2 warm-started from pair 1's flow recovers the same constant
     motion the cold run does."""
@@ -63,6 +64,7 @@ def test_warm_skip_global_matches_cold(rng):
     assert epe_w < epe_c + 0.1
 
 
+@pytest.mark.slow
 def test_warm_proposal_merge_never_hurts(rng):
     """With warm_skip_global=False the init is merged by true-cost argmin
     alongside the full global stages — accuracy stays at the cold level."""
@@ -100,6 +102,7 @@ def test_warm_large_displacement_from_gt_init(rng):
     assert epe < 0.8
 
 
+@pytest.mark.slow
 def test_eppmflow_init_flow_api(rng):
     base = _textured(rng, 64, 96)
     f = _roll_seq(base, 3, 1, 2)
@@ -112,6 +115,7 @@ def test_eppmflow_init_flow_api(rng):
     assert np.isfinite(np.asarray(fl2)).all()
 
 
+@pytest.mark.slow
 def test_sharded_temporal_warm_start(rng):
     """Warm start through the (1,2,2) mesh: the coarse level is
     replicated, so the sharded warm result must agree with the
@@ -147,6 +151,7 @@ def test_sharded_temporal_warm_start(rng):
     assert epe < 0.8
 
 
+@pytest.mark.slow
 def test_cli_temporal_stream(rng, tmp_path):
     """--frames-dir --temporal end-to-end: writes one .flo per pair with
     the expected motion."""
