@@ -155,6 +155,33 @@ def main() -> None:
         "unit": "frames/sec",
         "vs_baseline": round(fps / BASELINE_FPS, 4),
     }
+
+    # BASELINE.json's north-star metric is "flow frames/sec/chip at 1080p";
+    # capture it in the same driver-parsed line (extra keys, still ONE JSON
+    # line).  Skipped in CPU fallback mode — a CPU 1080p run takes minutes
+    # and measures nothing about the chip.
+    if not cpu_fallback:
+        rg = np.random.default_rng(0)
+        himg = np.zeros((1080, 1920, 3), np.float32)
+        for scale, amp in ((16, 0.6), (4, 0.3)):
+            small = rg.random(
+                (1080 // scale + 2, 1920 // scale + 2, 3)
+            ).astype(np.float32)
+            himg += amp * np.asarray(
+                jax.image.resize(jnp.asarray(small), (1080, 1920, 3), "linear")
+            )
+        h2 = jnp.asarray(np.clip(himg, 0, 1))
+        h1 = jnp.asarray(np.roll(np.asarray(h2), (-5, -3), axis=(1, 0)))
+        hf = compute_flow_jit(h1, h2, jax.random.PRNGKey(0))
+        np.asarray(hf[:1, :1])  # compile + warm
+        dev = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            hf = compute_flow_jit(h1, h2, jax.random.PRNGKey(200 + i))
+            np.asarray(hf[:1, :1])  # 4-byte completion fetch
+            dev.append(time.perf_counter() - t0)
+        line["hd1080p_device_ms"] = round(min(dev) * 1e3, 1)
+        line["hd1080p_fps"] = round(1.0 / min(dev), 3)
     if cpu_fallback:
         line["error"] = (
             "TPU backend unreachable (axon tunnel down); value is a "

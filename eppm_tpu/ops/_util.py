@@ -20,13 +20,20 @@ def tpu_params(vmem_limit_mb: int = 100):
     double buffering; these kernels manage their own DMA windows and their
     roll/slab temporaries legitimately need more stack (measured: the
     separable smoothing kernel peaks at ~19 MiB of scoped VMEM at 640x480
-    level-1 tiles).  v5e has 128 MiB of VMEM per core; 100 MiB leaves
-    room for the explicitly-declared scratch windows."""
+    level-1 tiles).  Hardware assumption: the budget is sized for
+    v4/v5-class cores (128 MiB VMEM); pre-v4 generations (16 MiB) are not
+    supported targets for these kernels — the `_auto` dispatchers fall
+    back to the XLA paths off-TPU, and the kernels' own window sizing
+    assumes the larger VMEM."""
     from jax.experimental.pallas import tpu as pltpu
 
-    return pltpu.CompilerParams(
-        vmem_limit_bytes=vmem_limit_mb * 1024 * 1024
+    # jax >= 0.7 names this CompilerParams; earlier releases used
+    # TPUCompilerParams.  pyproject pins jax>=0.7, but stay importable on
+    # the older spelling rather than failing every kernel call.
+    params_cls = getattr(pltpu, "CompilerParams", None) or getattr(
+        pltpu, "TPUCompilerParams"
     )
+    return params_cls(vmem_limit_bytes=vmem_limit_mb * 1024 * 1024)
 
 
 def shift2d(a: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:

@@ -115,18 +115,30 @@ for lvl in range(top - 1, -1, -1):
     up = jax.jit(lambda f, o=oh, w=ow: bilinear_resize(f, o, w, 2.0) * 2.0)
     timeit(f"upsample -> L{lvl}", lambda f, o=oh, w=ow: bilinear_resize(f, o, w, 2.0) * 2.0, flow)
     flow = up(flow)
+    # pass 1 and pass 2 exactly as the pipeline runs them (pass1/pass2
+    # plane flags from the config; pass 2 includes the 3x3 flow median)
     timeit(
-        f"dense_refine L{lvl} ({oh}x{ow}) 1 pass",
+        f"dense_refine L{lvl} ({oh}x{ow}) pass1",
         lambda f, p1, p2: dense_refine_flow(
-            f, p1, p2, cfg.cost, cfg.dense_search_radius, True,
-            cfg.cost_tap_chunk),
+            f, p1, p2, cfg.cost, cfg.dense_search_radius,
+            cfg.dense_pass1_planes, cfg.cost_tap_chunk),
         flow, packs1[lvl], packs2[lvl],
     )
-    ref = jax.jit(lambda f, p1, p2: dense_refine_flow(
-        f, p1, p2, cfg.cost, cfg.dense_search_radius, True,
-        cfg.cost_tap_chunk))
-    flow = ref(flow, packs1[lvl], packs2[lvl])
-    flow = ref(median3_flow(flow), packs1[lvl], packs2[lvl])
+    ref1 = jax.jit(lambda f, p1, p2: dense_refine_flow(
+        f, p1, p2, cfg.cost, cfg.dense_search_radius,
+        cfg.dense_pass1_planes, cfg.cost_tap_chunk))
+    flow = ref1(flow, packs1[lvl], packs2[lvl])
+    timeit(
+        f"dense_refine L{lvl} ({oh}x{ow}) pass2 (+median)",
+        lambda f, p1, p2: dense_refine_flow(
+            median3_flow(f), p1, p2, cfg.cost, cfg.dense_search_radius,
+            cfg.dense_pass2_planes, cfg.cost_tap_chunk),
+        flow, packs1[lvl], packs2[lvl],
+    )
+    ref2 = jax.jit(lambda f, p1, p2: dense_refine_flow(
+        median3_flow(f), p1, p2, cfg.cost, cfg.dense_search_radius,
+        cfg.dense_pass2_planes, cfg.cost_tap_chunk))
+    flow = ref2(flow, packs1[lvl], packs2[lvl])
     timeit(f"flow_smoothing L{lvl}",
            lambda f, i: flow_smoothing(f, i, cfg.refine), flow, levels1[lvl])
     flow = jax.jit(lambda f, i: flow_smoothing(f, i, cfg.refine))(
