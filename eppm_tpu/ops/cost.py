@@ -217,6 +217,110 @@ def patch_cost(
     )
 
 
+def make_patch_stack(
+    pack2: jnp.ndarray,
+    offsets2: Sequence[Tuple[int, int]],
+    dtype=None,
+) -> jnp.ndarray:
+    """Pre-shifted tap stack for gather-efficient exact patch costs.
+
+    Returns (H2, W2, T*4): channel group t holds
+    ``pack2[clip(y + dy_t), clip(x + dx_t)]`` (edge-clamped static
+    shifts).  With the stack built once, the exact patch cost of ANY
+    target field needs a single row gather of T*4-wide rows instead of T
+    separate 4-wide gathers — on TPU, gather cost is dominated by row
+    count, so this is ~T times cheaper per evaluation and amortizes
+    across every evaluation sharing the tap table (the match engine's
+    exact stage scores ~14 candidate fields per direction).
+
+    Border note: for in-image targets the taps are identical to
+    ``patch_cost``; an out-of-image target t reads taps
+    ``clip(clip(t)+d)`` instead of ``clip(t+d)`` — exact-stage consumers
+    mask out-of-image targets to FLT_MAX anyway.
+
+    Layout: T tap groups followed by one (0, 0) *center* group (the
+    range-weight reference pixel; tap grids like the exact stage's
+    stride-4 {-9,-5,-1,3,7} don't contain the center themselves).
+    """
+    from ._util import shift2d
+
+    stack = jnp.concatenate(
+        [shift2d(pack2, dy, dx) for (dy, dx) in offsets2] + [pack2],
+        axis=-1,
+    )
+    if dtype is not None:
+        stack = stack.astype(dtype)
+    return stack
+
+
+def patch_cost_stack(
+    pack1: jnp.ndarray,
+    stack2: jnp.ndarray,
+    txs: jnp.ndarray,
+    tys: jnp.ndarray,
+    cfg: CostConfig,
+    offsets2: Sequence[Tuple[int, int]],
+) -> jnp.ndarray:
+    """Exact bilateral AD+census cost of K target fields against a
+    pre-shifted tap stack (``make_patch_stack(pack2, offsets2)``).
+
+    txs/tys: (K, H, W) int32 absolute targets -> (K, H, W) float32 costs.
+    Semantically equal to ``patch_cost`` per field for in-image targets
+    (see make_patch_stack for the border caveat); the tap table
+    ``offsets2`` must be the one the stack was built with, and frame-1
+    offsets mirror cfg.tap_offsets as in ``_patch_cost_offsets``.
+    """
+    K, H, W = txs.shape
+    H2, W2 = stack2.shape[0], stack2.shape[1]
+    T = len(offsets2)
+    R = cfg.patch_radius
+    sig_s2 = cfg.sigma_spatial * cfg.sigma_spatial
+    lam_ad2 = cfg.lambda_ad * cfg.lambda_ad
+    lam_cen2 = (cfg.lambda_census * cfg.census_max_diff) ** 2
+    inv_sig_r2 = 1.0 / (cfg.sigma_range * cfg.sigma_range)
+
+    pad1 = jnp.pad(pack1, ((R, R), (R, R), (0, 0)), mode="edge")
+    flat = stack2.reshape(H2 * W2, 4 * (T + 1))
+    idx = (
+        jnp.clip(tys, 0, H2 - 1) * W2 + jnp.clip(txs, 0, W2 - 1)
+    ).reshape(-1)
+    # ONE gather: (K*H*W, 4(T+1)) -> (K, H, W, T+1, 4) float32 tap values
+    taps2 = (
+        jnp.take(flat, idx, axis=0)
+        .reshape(K, H, W, T + 1, 4)
+        .astype(jnp.float32)
+    )
+    # frame-2 range-weight center = the target pixel itself (the stack's
+    # final group, see make_patch_stack)
+    center2 = taps2[..., T, :3]
+
+    center1 = pack1[..., :3]
+
+    cost_sum = jnp.zeros((K, H, W), jnp.float32)
+    weight_sum = jnp.zeros((K, H, W), jnp.float32)
+    for t, ((i1, j1), (i2, j2)) in enumerate(
+        zip(cfg.tap_offsets, offsets2)
+    ):
+        gw = math.exp(-(j1 * j1) / sig_s2) * math.exp(-(i1 * i1) / sig_s2)
+        p1 = jax.lax.dynamic_slice(
+            pad1, (R + i1, R + j1, 0), (H, W, 4)
+        )
+        p2 = taps2[..., t, :]
+        ad = _maxabs3(p1[None, ..., :3], p2[..., :3])
+        c_ad = 1.0 - jnp.exp(-(ad * ad) / lam_ad2)
+        ham = _popcount8(
+            p1[None, ..., 3].astype(jnp.int32)
+            ^ p2[..., 3].astype(jnp.int32)
+        ).astype(jnp.float32)
+        c_cen = 1.0 - jnp.exp(-(ham * ham) / lam_cen2)
+        dr1 = _maxabs3(center1, p1[..., :3])[None]
+        dr2 = _maxabs3(center2, p2[..., :3])
+        w = jnp.exp(-(dr1 * dr1 + dr2 * dr2) * inv_sig_r2) * gw
+        cost_sum = cost_sum + w * (c_ad + c_cen)
+        weight_sum = weight_sum + w
+    return cost_sum / jnp.maximum(weight_sum, 1e-30)
+
+
 def patch_cost_candidates(
     pack1: jnp.ndarray,
     pack2: jnp.ndarray,

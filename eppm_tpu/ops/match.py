@@ -503,60 +503,63 @@ def match_coarse(
     # --- exact-cost polish (symmetric gathered cost; see MatchConfig) ---
     if match_cfg.exact_polish_radius > 0:
         from ..config import FLT_MAX
-        from .cost import patch_cost
+        from .cost import make_patch_stack, patch_cost_stack
 
         h2, w2 = pack2.shape[0], pack2.shape[1]
         exact_cfg = dataclasses.replace(
             cost_cfg, patch_stride=match_cfg.exact_tap_stride
         )
+        offs2 = exact_cfg.tap_offsets
+        # Pre-shifted tap stack, built once per direction: every exact
+        # evaluation is then ONE wide row gather instead of T narrow
+        # ones (gather cost on TPU ~ row count).  bf16 storage halves
+        # the gathered bytes, exactly like the old gather_dtype=bf16
+        # (scores are only compared, symmetrically in both directions).
+        stack2 = make_patch_stack(pack2, offs2, dtype=jnp.bfloat16)
 
-        def exact(ctx, cty):
-            ck = patch_cost(
-                pack1, pack2, ctx, cty, exact_cfg, tap_chunk,
-                gather_dtype=jnp.bfloat16,
+        def exact_multi(cgxs, cgys, mask_oob=True):
+            """Exact quantized cost of K offset fields (K, H, W); out-of-
+            image targets masked to FLT_MAX (quantization grid 2^-17 as
+            everywhere, so cross-compilation argmins agree)."""
+            ctxs = xsc[None] + cgxs
+            ctys = ysc[None] + cgys
+            ck = patch_cost_stack(
+                pack1, stack2, ctxs, ctys, exact_cfg, offs2
             )
-            # quantize like the dense scores so cross-compilation argmin
-            # decisions agree (ops/dense.py residual_costs)
-            return jnp.round(ck * 131072.0) * (1.0 / 131072.0)
-
-        def approx_scores(cgys, cgxs):
-            """Batched warp-approximated scores of K offset fields (one
-            multiwarp evaluation, same sparse tap grid as the exact
-            metric so ranks are consistent), out-of-image masked."""
-            a = rescore_multi(pack1, pack2, cgys, cgxs, exact_cfg, tap_chunk)
-            inb = (
-                (xsc[None] + cgxs >= 0) & (xsc[None] + cgxs < w2)
-                & (ysc[None] + cgys >= 0) & (ysc[None] + cgys < h2)
-            )
-            return jnp.where(inb, a, FLT_MAX)
+            ck = jnp.round(ck * 131072.0) * (1.0 / 131072.0)
+            if mask_oob:
+                inb = (
+                    (ctxs >= 0) & (ctxs < w2) & (ctys >= 0) & (ctys < h2)
+                )
+                ck = jnp.where(inb, ck, FLT_MAX)
+            return ck
 
         gx, gy = tx - xsc, ty - ysc
-        cost = exact(tx, ty)  # incumbent, exactly scored
+        # incumbent, exactly scored (unmasked, like the reference's own
+        # clamped-texture reads at out-of-image targets)
+        cost = exact_multi(gx[None], gy[None], mask_oob=False)[0]
 
-        def try_exact(cgx, cgy, cur, strict=True):
-            """Exact-score one candidate offset field against the
-            incumbent; returns updated (gx, gy, cost)."""
+        def best_of(cgxs, cgys, cur, strict=True):
+            """Exact-score K candidate fields, take the per-pixel first
+            minimum (candidate order = tie order), accept vs incumbent."""
             gx0, gy0, cost0 = cur
-            ctx, cty = xsc + cgx, ysc + cgy
-            ck = exact(ctx, cty)
-            inb = (ctx >= 0) & (ctx < w2) & (cty >= 0) & (cty < h2)
-            ck = jnp.where(inb, ck, FLT_MAX)
-            win = (ck < cost0) if strict else (ck <= cost0)
+            ck = exact_multi(cgxs, cgys)
+            i1 = jnp.argmin(ck, axis=0)
+            cbest = jnp.take_along_axis(ck, i1[None], axis=0)[0]
+            cgx = jnp.take_along_axis(cgxs, i1[None], axis=0)[0]
+            cgy = jnp.take_along_axis(cgys, i1[None], axis=0)[0]
+            win = (cbest < cost0) if strict else (cbest <= cost0)
             return (
                 jnp.where(win, cgx, gx0),
                 jnp.where(win, cgy, gy0),
-                jnp.where(win, ck, cost0),
+                jnp.where(win, cbest, cost0),
             )
 
-        # Polish: candidates are the ring around the incumbent.  Exact-
-        # scoring all (2r+1)^2-1 of them costs ~4 ms each in gathers;
-        # instead ONE batched warp-approximated pass ranks them and only
-        # the top-2 per pixel are exact-scored against the exactly-scored
-        # incumbent.  Every accepted move is still an exact-vs-exact
-        # comparison, preserving the fwd/bwd symmetry that lr_thresh=0
-        # depends on; preselection can only miss a candidate whose exact
-        # cost wins while its approximate cost ranks below second — rare,
-        # and measured EPE-neutral.
+        # Polish: the whole ring around the incumbent is exact-scored in
+        # one batched stack gather (the round-2 approx-preselect existed
+        # only because per-candidate gathers cost ~4 ms each; the stack
+        # makes exact-everything cheaper than the old preselect), in
+        # center-out tie order.
         ring = [
             (m, n) for (m, n) in
             center_out_offsets(match_cfg.exact_polish_radius)
@@ -565,37 +568,23 @@ def match_coarse(
         offs = jnp.asarray(ring, jnp.int32)  # (K, 2) as (dy, dx)
         cgys = gy[None] + offs[:, 0, None, None]
         cgxs = gx[None] + offs[:, 1, None, None]
-        a = approx_scores(cgys, cgxs)
-        i1 = jnp.argmin(a, axis=0)
-        a2 = jnp.where(
-            jnp.arange(len(ring))[:, None, None] == i1[None], FLT_MAX, a
-        )
-        i2 = jnp.argmin(a2, axis=0)
-        cur = (gx, gy, cost)
-        for idx in (i1, i2):
-            cgx = jnp.take_along_axis(cgxs, idx[None], axis=0)[0]
-            cgy = jnp.take_along_axis(cgys, idx[None], axis=0)[0]
-            cur = try_exact(cgx, cgy, cur)
-        gx, gy, cost = cur
+        gx, gy, cost = best_of(cgxs, cgys, (gx, gy, cost))
 
-        # Exact-cost propagation (coherence): per step, the 4 neighbor
-        # offsets are approx-ranked in one batch and the winner is
-        # exact-scored (strict improvement keeps the incumbent on ties).
+        # Exact-cost propagation (coherence): per step, all 4 neighbor
+        # offsets exact-scored in one batch; strict improvement keeps
+        # the incumbent on ties.
         for step in match_cfg.exact_prop_steps:
             shifts = ((0, -step), (0, step), (-step, 0), (step, 0))
             cgys = jnp.stack([_shift2d(gy, dy, dx) for dy, dx in shifts])
             cgxs = jnp.stack([_shift2d(gx, dy, dx) for dy, dx in shifts])
-            a = approx_scores(cgys, cgxs)
-            i1 = jnp.argmin(a, axis=0)
-            cgx = jnp.take_along_axis(cgxs, i1[None], axis=0)[0]
-            cgy = jnp.take_along_axis(cgys, i1[None], axis=0)[0]
-            gx, gy, cost = try_exact(cgx, cgy, (gx, gy, cost))
+            gx, gy, cost = best_of(cgxs, cgys, (gx, gy, cost))
 
         # Consensus relaxation (tie clustering): equality adopts, pulling
         # isolated tie-breaks toward the regional majority.
         for _ in range(match_cfg.exact_median_rounds):
-            gx, gy, cost = try_exact(
-                median3(gx), median3(gy), (gx, gy, cost), strict=False
+            gx, gy, cost = best_of(
+                median3(gx)[None], median3(gy)[None], (gx, gy, cost),
+                strict=False,
             )
         tx, ty = xsc + gx, ysc + gy
     return tx, ty, cost
