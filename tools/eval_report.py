@@ -25,6 +25,7 @@ DATASETS = [
     ("middlebury_synth", "frame10.ppm,frame11.ppm,flow10.flo"),
     ("sintel_stress", "frame10.ppm,frame11.ppm,flow10.flo"),
     ("kitti_fixtures", "frame10.ppm,frame11.ppm,flow10.png"),
+    ("real_texture", "frame10.ppm,frame11.ppm,flow10.flo"),
 ]
 ENGINES = [
     ("dense", []),
