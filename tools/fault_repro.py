@@ -86,9 +86,38 @@ FULL_SRC = textwrap.dedent(
 )
 
 
+MULTIWARP_SRC = textwrap.dedent(
+    """
+    import sys
+    sys.path.insert(0, {root!r})
+    import numpy as np
+    import jax, jax.numpy as jnp
+    from eppm_tpu.config import DEFAULT_CONFIG as cfg
+    from eppm_tpu.ops.census import census_transform
+    from eppm_tpu.ops.cost import pack_frame
+    from eppm_tpu.ops.pallas_cost import residual_costs_multiwarp_pallas
+
+    h, w, k = {h}, {w}, {k}
+    rng = np.random.default_rng(0)
+    img1 = jnp.asarray(rng.random((h, w, 3), np.float32))
+    p1 = pack_frame(img1, census_transform(img1))
+    warped = jnp.asarray(rng.random((k, h, w, 4), np.float32))
+
+    @jax.jit
+    def prog(p1, warped):
+        return jnp.sum(residual_costs_multiwarp_pallas(p1, warped, cfg.cost))
+
+    print("RESULT", float(prog(p1, warped)))
+    """
+)
+
+
 def run_case(h, w, n_passes, timeout=2400):
     if n_passes == "full":
         src = FULL_SRC.format(root=ROOT, h=h, w=w)
+    elif isinstance(n_passes, str) and n_passes.startswith("multiwarp"):
+        src = MULTIWARP_SRC.format(root=ROOT, h=h, w=w,
+                                   k=int(n_passes.split(":")[1]))
     else:
         src = CASE_SRC.format(root=ROOT, h=h, w=w, n_passes=n_passes)
     try:
@@ -116,6 +145,12 @@ def main():
         ("1080p, FULL monolithic pipeline (current repro)",
          1080, 1920, "full"),
         ("540p, FULL monolithic pipeline (control)", 540, 960, "full"),
+        # 4K-coarse-at-fixed-depth-3 size (518k px, K=5 as in
+        # propagate_dense) — probes the ops/match.py rescore_multi gate.
+        # NB: with PyramidConfig.auto_depth_dim=160 (default) no BASELINE
+        # config reaches this size at the coarse level; the gate matters
+        # only for user configs that pin max_depth with auto_depth off.
+        ("multiwarp kernel 540x960 K=5 (518k px)", 540, 960, "multiwarp:5"),
     ]
     for name, h, w, n in cases:
         status, detail = run_case(h, w, n)
