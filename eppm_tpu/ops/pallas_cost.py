@@ -174,7 +174,7 @@ def _cost_kernel_sep(
     dys_ref, gys_ref,
     pack1_ref, warped_ref,   # HBM
     out_ref,             # (K, TH, TW) VMEM block
-    p1_ref, w2_ref, p1s_ref, w2s_ref, acc_ref, sem,
+    p1_ref, w2_ref, p1s_ref, w2s_ref, e2_ref, acc_ref, sem,
     *,
     cands: Tuple[Tuple[int, int], ...],
     n_dys: int,
@@ -193,6 +193,14 @@ def _cost_kernel_sep(
     the whole padded window; static slices are lane rotates on load.
     Candidate row offsets read the w2 slab at +-cmax rows (slab is
     sublane-extended by 8 each side, so cmax <= 8).
+
+    Frame-2 range-weight hoist: dr2 for candidate c at tap d is
+    maxabs3(W(p+c), W(p+c+d)) — a pure SHIFT by c of the candidate-
+    independent field D_d(q) = maxabs3(W(q), W(q+d)).  Each tap
+    therefore computes exp(-D_d^2/sig_r^2) ONCE on a candidate-extended
+    region (e2_ref) and every candidate just slices it: the per-
+    tap-candidate cost drops by one maxabs3 + one exp (~22% of kernel
+    time at K=9), with bit-identical results.
     """
     ti = pl.program_id(0)
     tj = pl.program_id(1)
@@ -228,6 +236,21 @@ def _cost_kernel_sep(
             :, HY - 8 : HY + TH + 8, :
         ]
         for dx, gx in zip(dxs, gxs):
+            # hoisted frame-2 range weight E(a, b) over the candidate-
+            # extended region: rows HY-8.., cols HX-8.. of the window
+            # paired with the dy-rolled slab at column offset +dx
+            wr = w2_ref[0, HY - 8 : HY + TH + 8, HX - 8 : HX + TW + 8]
+            wg = w2_ref[1, HY - 8 : HY + TH + 8, HX - 8 : HX + TW + 8]
+            wb = w2_ref[2, HY - 8 : HY + TH + 8, HX - 8 : HX + TW + 8]
+            tr = w2s_ref[0, :, HX - 8 + dx : HX + TW + 8 + dx]
+            tg = w2s_ref[1, :, HX - 8 + dx : HX + TW + 8 + dx]
+            tb = w2s_ref[2, :, HX - 8 + dx : HX + TW + 8 + dx]
+            d2f = jnp.maximum(
+                jnp.maximum(jnp.abs(wr - tr), jnp.abs(wg - tg)),
+                jnp.abs(wb - tb),
+            )
+            e2_ref[:] = jnp.exp(-(d2f * d2f) * inv_sig_r2)
+
             r1 = p1s_ref[0, :, HX + dx : HX + dx + TW]
             g1 = p1s_ref[1, :, HX + dx : HX + dx + TW]
             b1 = p1s_ref[2, :, HX + dx : HX + dx + TW]
@@ -254,17 +277,7 @@ def _cost_kernel_sep(
                 x = (x & 0x33) + ((x >> 2) & 0x33)
                 ham = ((x + (x >> 4)) & 0x0F).astype(jnp.float32)
                 c_cen = 1.0 - jnp.exp(-(ham * ham) * (1.0 / lam_cen2))
-                # center-of-candidate slices re-read per use: ref loads
-                # are cheap, and precomputing 3K live slices blows the
-                # Mosaic vmem stack at K=49 (measured: 30M vs 16M limit)
-                k2r = w2_ref[0, HY + cy : HY + cy + TH, HX + cx : HX + cx + TW]
-                k2g = w2_ref[1, HY + cy : HY + cy + TH, HX + cx : HX + cx + TW]
-                k2b = w2_ref[2, HY + cy : HY + cy + TH, HX + cx : HX + cx + TW]
-                dr2 = jnp.maximum(
-                    jnp.maximum(jnp.abs(k2r - r2), jnp.abs(k2g - g2)),
-                    jnp.abs(k2b - b2),
-                )
-                wgt = jnp.exp(-(dr2 * dr2) * inv_sig_r2) * e1
+                wgt = e2_ref[8 + cy : 8 + cy + TH, 8 + cx : 8 + cx + TW] * e1
                 # accumulate by read-modify-write on the scratch ref —
                 # holding 2K accumulators as live values across the
                 # unrolled loop is the other half of the stack blow-up
@@ -317,9 +330,10 @@ def _residual_costs_sep(
     def vmem_bytes(th, tw):
         win = 4 * (th + 2 * HY) * (tw + 2 * HX) * 4
         slab = 4 * th * (tw + 2 * HX) * 4 + 4 * (th + 16) * (tw + 2 * HX) * 4
+        e2 = (th + 16) * (tw + 16) * 4
         acc = 2 * K * th * tw * 4
         outb = 2 * K * th * tw * 4
-        return 2 * win + slab + acc + outb
+        return 2 * win + slab + e2 + acc + outb
 
     while TH > 8 and vmem_bytes(TH, TW) > 14 * 2**20:
         TH = max(8, _round_up(TH // 2, 8))
@@ -357,6 +371,7 @@ def _residual_costs_sep(
             pltpu.VMEM((4, TH + 2 * HY, TW + 2 * HX), jnp.float32),
             pltpu.VMEM((4, TH, TW + 2 * HX), jnp.float32),
             pltpu.VMEM((4, TH + 16, TW + 2 * HX), jnp.float32),
+            pltpu.VMEM((TH + 16, TW + 16), jnp.float32),
             pltpu.VMEM((2 * K, TH, TW), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
