@@ -363,6 +363,23 @@ class EPPMConfig:
     cost_tap_chunk: int = 25
 
     @property
+    def pass2_cost(self) -> CostConfig:
+        """Cost config of refine passes after the first
+        (dense_pass2_tap_stride / dense_pass2_patch_radius)."""
+        stride = self.dense_pass2_tap_stride or self.cost.patch_stride
+        radius = self.dense_pass2_patch_radius or self.cost.patch_radius
+        if (stride, radius) == (self.cost.patch_stride,
+                                self.cost.patch_radius):
+            return self.cost
+        return dataclasses.replace(
+            self.cost, patch_stride=stride, patch_radius=radius
+        )
+
+    @property
+    def pass2_cand_shape(self) -> str:
+        return self.dense_pass2_cand_shape or self.dense_cand_shape
+
+    @property
     def lr_thresh(self) -> int:
         """Effective left-right tolerance (see RefineConfig.lr_diff_thresh).
 
@@ -432,6 +449,19 @@ class EPPMConfig:
     # iterative-warping stabilization (the reference has no equivalent),
     # where fronto-only costs measure equal quality at 3.5x less work.
     dense_pass2_planes: bool = False
+    # Tap grid for passes after the first (0 = inherit cost values).
+    # The stabilization passes re-rank a +-1 neighborhood on an already
+    # self-consistent warp; a sparser CENTERED grid spanning nearly the
+    # same patch reach keeps the rank structure at half the arithmetic
+    # in the pipeline's single most expensive kernel.  radius 8 stride 4
+    # = {-8,-4,0,4,8}^2, 25 taps — the center tap is load-bearing
+    # (stride 4 at radius 9 excludes it and measured 2.3x worse on 5 px
+    # translation, the same defect PERF.md documents for the reference's
+    # stride-2 grid).  Quality at these defaults: QUALITY.md.
+    dense_pass2_tap_stride: int = 4
+    dense_pass2_patch_radius: int = 8
+    # Candidate shape for passes after the first ("" = dense_cand_shape).
+    dense_pass2_cand_shape: str = ""
     # Plane-fitting hypotheses in pass 1 (the reference re-search,
     # bao_pmflow_kernel.cu:334-513, always evaluates all 4).  Measured on
     # the full synthetic sweep + Grove: fronto-only pass 1 is EPE-neutral

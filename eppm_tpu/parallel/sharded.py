@@ -267,11 +267,14 @@ def _pair_flow_tiled(
                 fh = fh[1:-1, 1:-1]
                 p1h = _slice_tile_haloed(packs1[lvl], y0, x0, th, tw, G)
                 ext = dense_refine_flow(
-                    fh, p1h, packs2[lvl], cfg.cost,
+                    fh, p1h, packs2[lvl],
+                    cfg.pass2_cost if med else cfg.cost,
                     cfg.dense_search_radius,
                     cfg.dense_pass2_planes if med else cfg.dense_pass1_planes,
                     cfg.cost_tap_chunk, origin=(y0 - G, x0 - G),
-                    cand_shape=cfg.dense_cand_shape,
+                    cand_shape=(
+                        cfg.pass2_cand_shape if med else cfg.dense_cand_shape
+                    ),
                     subpixel_fit=sub,
                 )
                 return ext[G:-G, G:-G]

@@ -182,9 +182,10 @@ def compute_flow(
             )
             for i in range(n - 1):
                 flow = dense_refine_flow(
-                    median3_flow(flow), packs1[lvl], packs2[lvl], cfg.cost,
+                    median3_flow(flow), packs1[lvl], packs2[lvl],
+                    cfg.pass2_cost,
                     cfg.dense_search_radius, cfg.dense_pass2_planes,
-                    cfg.cost_tap_chunk, cand_shape=cfg.dense_cand_shape,
+                    cfg.cost_tap_chunk, cand_shape=cfg.pass2_cand_shape,
                     subpixel_fit=fit and i == n - 2,
                 )
         else:
@@ -268,9 +269,11 @@ def _refine_pass_stage(flow, pack1, pack2, cfg, oh, ow, med, sub=False):
     if med:
         flow = median3_flow(flow)
     return dense_refine_flow(
-        flow, pack1, pack2, cfg.cost, cfg.dense_search_radius,
+        flow, pack1, pack2, cfg.pass2_cost if med else cfg.cost,
+        cfg.dense_search_radius,
         cfg.dense_pass2_planes if med else cfg.dense_pass1_planes,
-        cfg.cost_tap_chunk, cand_shape=cfg.dense_cand_shape,
+        cfg.cost_tap_chunk,
+        cand_shape=cfg.pass2_cand_shape if med else cfg.dense_cand_shape,
         subpixel_fit=sub,
     )
 
