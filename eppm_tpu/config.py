@@ -380,6 +380,15 @@ class EPPMConfig:
         return self.dense_pass2_cand_shape or self.dense_cand_shape
 
     @property
+    def warp_dtype(self):
+        """Gather dtype for the fine-level warp (dense_warp_bf16)."""
+        if self.dense_warp_bf16:
+            import jax.numpy as _jnp
+
+            return _jnp.bfloat16
+        return None
+
+    @property
     def lr_thresh(self) -> int:
         """Effective left-right tolerance (see RefineConfig.lr_diff_thresh).
 
@@ -462,6 +471,12 @@ class EPPMConfig:
     dense_pass2_patch_radius: int = 8
     # Candidate shape for passes after the first ("" = dense_cand_shape).
     dense_pass2_cand_shape: str = ""
+    # Narrow the fine-level warp gather (the one data-dependent memory
+    # access) to bfloat16: ~25% faster gathers at 1080p; census integers
+    # stay exact, RGB keeps an 8-bit mantissa, and every consumer of a
+    # warp sees the same rounded values so kernel/oracle and
+    # cross-program consistency hold.  Quality at the default: QUALITY.md.
+    dense_warp_bf16: bool = True
     # Plane-fitting hypotheses in pass 1 (the reference re-search,
     # bao_pmflow_kernel.cu:334-513, always evaluates all 4).  Measured on
     # the full synthetic sweep + Grove: fronto-only pass 1 is EPE-neutral

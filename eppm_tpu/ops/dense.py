@@ -118,6 +118,7 @@ def warp_pack(
     gx: jnp.ndarray,
     gy: jnp.ndarray,
     origin: Tuple = (0, 0),
+    gather_dtype=None,
 ) -> jnp.ndarray:
     """J(p) = pack2 at (y + gy(p), x + gx(p)), edge-clamped.
 
@@ -125,6 +126,12 @@ def warp_pack(
     memory access of the dense refinement path.  ``origin`` gives the
     global position of (gx, gy)'s top-left pixel when warping a shard
     tile against the full replicated frame 2.
+
+    ``gather_dtype`` (e.g. bfloat16) narrows the gathered rows — the
+    gather runs ~25% faster at 1080p — returning float32 values rounded
+    through that dtype (census integers 0..255 stay exact; RGB keeps an
+    8-bit mantissa).  All consumers of one warp see the same rounded
+    values, so kernel/oracle and cross-program consistency hold.
     """
     h2, w2 = pack2.shape[0], pack2.shape[1]
     h, w = gx.shape
@@ -136,8 +143,13 @@ def warp_pack(
     px = jnp.clip(xs + origin[1], 0, w2 - 1)
     cy = jnp.clip(py + gy, 0, h2 - 1)
     cx = jnp.clip(px + gx, 0, w2 - 1)
+    if gather_dtype is not None:
+        pack2 = pack2.astype(gather_dtype)
     flat = pack2.reshape(h2 * w2, pack2.shape[2])
-    return jnp.take(flat, cy * w2 + cx, axis=0)
+    out = jnp.take(flat, cy * w2 + cx, axis=0)
+    if gather_dtype is not None:
+        out = out.astype(jnp.float32)
+    return out
 
 
 def _build_tables(
@@ -273,6 +285,7 @@ def dense_refine_flow(
     origin: Tuple = (0, 0),
     cand_shape: str = "square",
     subpixel_fit: bool = False,
+    gather_dtype=None,
 ) -> jnp.ndarray:
     """Drop-in dense replacement for ``blf_refine_flow`` (ops/refine.py).
 
@@ -306,7 +319,7 @@ def dense_refine_flow(
     gy = jnp.trunc(jnp.where(unknown, 0.0, v)).astype(jnp.int32)
 
     if warped2 is None:
-        warped2 = warp_pack(pack2, gx, gy, origin)
+        warped2 = warp_pack(pack2, gx, gy, origin, gather_dtype)
 
     cand_offsets = center_out_offsets(search_radius, cand_shape)
     from .pallas_cost import residual_costs_auto

@@ -276,6 +276,7 @@ def _pair_flow_tiled(
                         cfg.pass2_cand_shape if med else cfg.dense_cand_shape
                     ),
                     subpixel_fit=sub,
+                    gather_dtype=cfg.warp_dtype,
                 )
                 return ext[G:-G, G:-G]
 

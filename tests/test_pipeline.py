@@ -231,7 +231,8 @@ def test_staged_refine_disagreements_are_ties(rng):
 
     fin = np.asarray(flow_in)
     g = np.trunc(fin).astype(np.int32)
-    warped = warp_pack(p2, jnp.asarray(g[..., 0]), jnp.asarray(g[..., 1]))
+    warped = warp_pack(p2, jnp.asarray(g[..., 0]), jnp.asarray(g[..., 1]),
+                       gather_dtype=cfg.warp_dtype)
     cands = center_out_offsets(cfg.dense_search_radius, cfg.dense_cand_shape)
     costs = np.asarray(
         jax.jit(

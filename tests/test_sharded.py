@@ -289,7 +289,8 @@ def test_sharded_refine_disagreements_are_ties(rng):
     # oracle: one program scores every candidate for both outputs
     unknown = base > 1e9
     g = np.trunc(np.where(unknown, 0.0, base)).astype(np.int32)
-    warped = warp_pack(p2, jnp.asarray(g[..., 0]), jnp.asarray(g[..., 1]))
+    warped = warp_pack(p2, jnp.asarray(g[..., 0]), jnp.asarray(g[..., 1]),
+                       gather_dtype=cfg.warp_dtype)
     cands = center_out_offsets(cfg.dense_search_radius, cfg.dense_cand_shape)
     costs = np.asarray(
         jax.jit(
