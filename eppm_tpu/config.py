@@ -472,11 +472,14 @@ class EPPMConfig:
     # Candidate shape for passes after the first ("" = dense_cand_shape).
     dense_pass2_cand_shape: str = ""
     # Narrow the fine-level warp gather (the one data-dependent memory
-    # access) to bfloat16: ~25% faster gathers at 1080p; census integers
-    # stay exact, RGB keeps an 8-bit mantissa, and every consumer of a
-    # warp sees the same rounded values so kernel/oracle and
-    # cross-program consistency hold.  Quality at the default: QUALITY.md.
-    dense_warp_bf16: bool = True
+    # access) to bfloat16.  The isolated gather measures ~25% faster at
+    # 1080p and quality is EPE-neutral to three decimals, but end-to-end
+    # the bf16 copy of pack2 (one materialization per refine pass) eats
+    # the gain — measured 213.9 vs 211.7 ms staged 1080p — so the
+    # default stays f32-exact.  Census integers are exact in bf16; RGB
+    # keeps an 8-bit mantissa; all consumers of one warp see the same
+    # rounded values, so cross-program consistency holds either way.
+    dense_warp_bf16: bool = False
     # Plane-fitting hypotheses in pass 1 (the reference re-search,
     # bao_pmflow_kernel.cu:334-513, always evaluates all 4).  Measured on
     # the full synthetic sweep + Grove: fronto-only pass 1 is EPE-neutral
