@@ -54,8 +54,10 @@ from .resize import bilinear_resize, gaussian_filter
 __all__ = [
     "patch_descriptors",
     "global_match",
+    "global_match_bidi",
     "descend_level",
     "match_coarse",
+    "match_coarse_bidi",
 ]
 
 
@@ -159,6 +161,86 @@ def global_match(
     ty = (best_i // w2).reshape(h, w)
     tx = (best_i % w2).reshape(h, w)
     return ty, tx
+
+
+def global_match_bidi(
+    desc1: jnp.ndarray, desc2: jnp.ndarray, block: int = 2048
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Both directions of ``global_match`` from ONE score sweep.
+
+    The raw descriptor dot ``R = D1 @ D2^T`` serves both argmaxes:
+    fwd scores are ``R - |d2|^2/2`` reduced over frame-2 (running max
+    across panels), bwd scores are ``R - |d1|^2/2`` reduced over frame-1
+    (each panel yields its columns' full answer immediately).  Halves the
+    dominant matmul + score traffic of bidirectional matching vs two
+    ``global_match`` calls; per-direction results are identical (same
+    quantization, same first-max tie order).
+
+    Returns (t1y, t1x, t2y, t2x) int32 absolute target fields.
+    """
+    h, w = desc1.shape[0], desc1.shape[1]
+    h2, w2 = desc2.shape[0], desc2.shape[1]
+    d = desc1.shape[2]
+    n1, n2 = h * w, h2 * w2
+    d1 = desc1.reshape(n1, d)
+    d2 = desc2.reshape(n2, d)
+    half_norm1 = 0.5 * jnp.sum(
+        d1.astype(jnp.float32) * d1.astype(jnp.float32), axis=1
+    )
+    half_norm2 = 0.5 * jnp.sum(
+        d2.astype(jnp.float32) * d2.astype(jnp.float32), axis=1
+    )
+
+    n_blocks = -(-n2 // block)
+    pad2 = n_blocks * block - n2
+    d2p = jnp.pad(d2, ((0, pad2), (0, 0)))
+    hn2p = jnp.pad(half_norm2, (0, pad2), constant_values=jnp.inf)
+    d2b = d2p.reshape(n_blocks, block, d)
+    hn2b = hn2p.reshape(n_blocks, block)
+
+    def step(carry, inp):
+        best_s, best_i = carry
+        j, d2_blk, hn_blk = inp
+        raw = jax.lax.dot_general(
+            d1, d2_blk,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # fwd: quantized exactly like global_match
+        scores = jnp.round((raw - hn_blk[None, :]) * 4096.0)
+        s = jnp.max(scores, axis=1)
+        i = jnp.argmax(scores, axis=1).astype(jnp.int32) + j * block
+        better = s > best_s
+        carry = (
+            jnp.where(better, s, best_s),
+            jnp.where(better, i, best_i),
+        )
+        # bwd: this panel's columns are complete (reduce over all of n1)
+        bscores = jnp.round((raw - half_norm1[:, None]) * 4096.0)
+        bi = jnp.argmin(
+            jnp.where(
+                bscores == jnp.max(bscores, axis=0)[None, :],
+                jnp.arange(n1, dtype=jnp.int32)[:, None],
+                jnp.int32(2**30),
+            ),
+            axis=0,
+        )
+        return carry, bi
+
+    init = (
+        jnp.full((n1,), -jnp.inf, jnp.float32),
+        jnp.zeros((n1,), jnp.int32),
+    )
+    (best_s, best_i), bwd_i = jax.lax.scan(
+        step, init,
+        (jnp.arange(n_blocks, dtype=jnp.int32), d2b, hn2b),
+    )
+    t1y = (best_i // w2).reshape(h, w)
+    t1x = (best_i % w2).reshape(h, w)
+    bwd_flat = bwd_i.reshape(n_blocks * block)[:n2]
+    t2y = (bwd_flat // w).reshape(h2, w2)
+    t2x = (bwd_flat % w).reshape(h2, w2)
+    return t1y, t1x, t2y, t2x
 
 
 def _flow_to_targets(flow, h2, w2):
@@ -344,6 +426,99 @@ def _mini_pyramid(
     return packs
 
 
+def _mini_levels(h: int, w: int, match_cfg: MatchConfig) -> int:
+    """Mini-pyramid depth floor: a level must stay large relative to the
+    patch (19x19 default) or residual argmins degenerate into
+    border-clamp noise; keep min(h, w) >= ~24 px."""
+    levels = 0
+    while (
+        levels < match_cfg.descent_levels
+        and min(h, w) // 2 ** (levels + 1) >= match_cfg.min_level_dim
+    ):
+        levels += 1
+    return levels
+
+
+def _make_mini_cost(cost_cfg: CostConfig, match_cfg: MatchConfig) -> CostConfig:
+    """Mini-level sweeps use a proportionally smaller patch: the full-size
+    patch spans most of a mini level and loses discrimination."""
+    import dataclasses
+
+    return dataclasses.replace(
+        cost_cfg,
+        patch_radius=match_cfg.mini_patch_radius,
+        patch_stride=1,
+        sigma_spatial=0.5 * match_cfg.mini_patch_radius,
+    )
+
+
+def _descend_chain(
+    packs_a, packs_b, tiny_targets, match_cfg, cost_cfg, mini_cost,
+    tap_chunk,
+):
+    """Tiny-level global targets -> descend the mini-pyramid with dense
+    residual sweeps -> (flow, cost) at the coarse level."""
+    tiny_a, tiny_b = packs_a[-1], packs_b[-1]
+    t_y, t_x = tiny_targets
+    ys, xs = _grid(tiny_a.shape[0], tiny_a.shape[1])
+    flow = jnp.stack(
+        [(t_x - xs).astype(jnp.float32), (t_y - ys).astype(jnp.float32)],
+        axis=-1,
+    )
+    flow, cost = descend_level(
+        tiny_a, tiny_b, flow, match_cfg.descent_radius, mini_cost, tap_chunk
+    )
+    for lvl in range(len(packs_a) - 2, -1, -1):
+        oh, ow = packs_a[lvl].shape[0], packs_a[lvl].shape[1]
+        flow = bilinear_resize(flow, oh, ow, 2.0) * 2.0
+        cc = cost_cfg if lvl == 0 else mini_cost
+        flow, cost = descend_level(
+            packs_a[lvl], packs_b[lvl], flow, match_cfg.descent_radius,
+            cc, tap_chunk,
+        )
+    return flow, cost
+
+
+def _merge_proposal(pack_a, pack_b, flow, cost, pgy, pgx, cost_cfg,
+                    tap_chunk):
+    """Merge an integer offset-field proposal by true-cost argmin
+    (out-of-image never wins) — can only lower the field's true cost."""
+    from ..config import FLT_MAX
+
+    h, w = flow.shape[0], flow.shape[1]
+    prop_cost = rescore(pack_a, pack_b, pgy, pgx, cost_cfg, tap_chunk)
+    ysc, xsc = _grid(h, w)
+    inb = (
+        (xsc + pgx >= 0) & (xsc + pgx < pack_b.shape[1])
+        & (ysc + pgy >= 0) & (ysc + pgy < pack_b.shape[0])
+    )
+    prop_cost = jnp.where(inb, prop_cost, FLT_MAX)
+    better = prop_cost < cost
+    flow = jnp.where(
+        better[..., None],
+        jnp.stack(
+            [pgx.astype(jnp.float32), pgy.astype(jnp.float32)], axis=-1
+        ),
+        flow,
+    )
+    return flow, jnp.where(better, prop_cost, cost)
+
+
+def _coarse_targets_from_global(p_y, p_x, s, h, w):
+    """Global-argmax targets (possibly on a stride-s grid) -> full-
+    resolution integer offset fields."""
+    if s > 1:
+        ys_s, xs_s = _grid(p_y.shape[0], p_y.shape[1])
+        fy = (p_y - ys_s) * s
+        fx = (p_x - xs_s) * s
+        # nearest-upsample the proposal flow back to full resolution
+        pgy = jnp.repeat(jnp.repeat(fy, s, 0), s, 1)[:h, :w]
+        pgx = jnp.repeat(jnp.repeat(fx, s, 0), s, 1)[:h, :w]
+        return pgy, pgx
+    ysc, xsc = _grid(h, w)
+    return p_y - ysc, p_x - xsc
+
+
 def match_coarse(
     img1: jnp.ndarray,
     img2: jnp.ndarray,
@@ -364,31 +539,13 @@ def match_coarse(
     true-cost proposal; with ``match_cfg.warm_skip_global`` it replaces
     the global descriptor stages entirely (see MatchConfig).
     """
-    import dataclasses
-
     h, w = img1.shape[0], img1.shape[1]
     skip_global = init_flow is not None and match_cfg.warm_skip_global
-    # Mini-pyramid floor: a level must stay large relative to the patch
-    # (19x19 default) or residual argmins degenerate into border-clamp
-    # noise; keep min(h, w) >= ~24 px.
-    levels = 0
-    while (
-        levels < match_cfg.descent_levels
-        and min(h, w) // 2 ** (levels + 1) >= match_cfg.min_level_dim
-    ):
-        levels += 1
+    levels = _mini_levels(h, w, match_cfg)
     packs1 = _mini_pyramid(img1, levels, pack0=pack1)
     packs2 = _mini_pyramid(img2, levels, pack0=pack2)
     pack1, pack2 = packs1[0], packs2[0]
-
-    # Mini-level sweeps use a proportionally smaller patch: the full-size
-    # patch spans most of a mini level and loses discrimination.
-    mini_cost = dataclasses.replace(
-        cost_cfg,
-        patch_radius=match_cfg.mini_patch_radius,
-        patch_stride=1,
-        sigma_spatial=0.5 * match_cfg.mini_patch_radius,
-    )
+    mini_cost = _make_mini_cost(cost_cfg, match_cfg)
 
     if skip_global:
         # Temporal warm start: begin from the previous pair's flow and
@@ -403,53 +560,22 @@ def match_coarse(
         tiny1, tiny2 = packs1[-1], packs2[-1]
         d1 = patch_descriptors(tiny1, match_cfg)
         d2 = patch_descriptors(tiny2, match_cfg)
-        t_y, t_x = global_match(d1, d2, match_cfg.global_block)
-        ys, xs = _grid(tiny1.shape[0], tiny1.shape[1])
-        flow = jnp.stack(
-            [(t_x - xs).astype(jnp.float32), (t_y - ys).astype(jnp.float32)],
-            axis=-1,
-        )
-        flow, _ = descend_level(
-            tiny1, tiny2, flow, match_cfg.descent_radius, mini_cost,
+        tiny_t = global_match(d1, d2, match_cfg.global_block)
+        flow, cost = _descend_chain(
+            packs1, packs2, tiny_t, match_cfg, cost_cfg, mini_cost,
             tap_chunk,
         )
-        # --- descend the mini-pyramid with dense residual sweeps ---
-        for lvl in range(levels - 1, -1, -1):
-            oh, ow = packs1[lvl].shape[0], packs1[lvl].shape[1]
-            flow = bilinear_resize(flow, oh, ow, 2.0) * 2.0
-            cc = cost_cfg if lvl == 0 else mini_cost
-            flow, cost = descend_level(
-                packs1[lvl], packs2[lvl], flow, match_cfg.descent_radius,
-                cc, tap_chunk,
-            )
     else:
         flow = jnp.zeros((h, w, 2), jnp.float32)
         gy, gx, _, _ = _flow_to_targets(flow, h, w)
         cost = rescore(pack1, pack2, gy, gx, cost_cfg, tap_chunk)
 
     if init_flow is not None and not skip_global:
-        # Warm proposal merged by true-cost argmin (out-of-image never
-        # wins) — can only lower the field's true cost.
-        from ..config import FLT_MAX
-
         igx = jnp.trunc(init_flow[..., 0]).astype(jnp.int32)
         igy = jnp.trunc(init_flow[..., 1]).astype(jnp.int32)
-        icost = rescore(pack1, pack2, igy, igx, cost_cfg, tap_chunk)
-        ysc0, xsc0 = _grid(h, w)
-        inb = (
-            (xsc0 + igx >= 0) & (xsc0 + igx < pack2.shape[1])
-            & (ysc0 + igy >= 0) & (ysc0 + igy < pack2.shape[0])
+        flow, cost = _merge_proposal(
+            pack1, pack2, flow, cost, igy, igx, cost_cfg, tap_chunk
         )
-        icost = jnp.where(inb, icost, FLT_MAX)
-        better = icost < cost
-        flow = jnp.where(
-            better[..., None],
-            jnp.stack(
-                [igx.astype(jnp.float32), igy.astype(jnp.float32)], axis=-1
-            ),
-            flow,
-        )
-        cost = jnp.where(better, icost, cost)
 
     # --- global proposals at coarse resolution (large-displacement
     # recall, the role of PatchMatch's global random init) ---
@@ -462,26 +588,131 @@ def match_coarse(
         dc1 = patch_descriptors(pack1, match_cfg, stride=s)
         dc2 = patch_descriptors(pack2, match_cfg, stride=s)
         p_y, p_x = global_match(dc1, dc2, match_cfg.global_block)
-        if s > 1:
-            ys_s, xs_s = _grid(dc1.shape[0], dc1.shape[1])
-            fy = (p_y - ys_s) * s
-            fx = (p_x - xs_s) * s
-            # nearest-upsample the proposal flow back to full resolution
-            pgy = jnp.repeat(jnp.repeat(fy, s, 0), s, 1)[:h, :w]
-            pgx = jnp.repeat(jnp.repeat(fx, s, 0), s, 1)[:h, :w]
-        else:
-            ysc, xsc = _grid(h, w)
-            pgy, pgx = p_y - ysc, p_x - xsc
-        prop_cost = rescore(pack1, pack2, pgy, pgx, cost_cfg, tap_chunk)
-        better = prop_cost < cost
-        flow = jnp.where(
-            better[..., None],
-            jnp.stack(
-                [pgx.astype(jnp.float32), pgy.astype(jnp.float32)], axis=-1
-            ),
-            flow,
+        pgy, pgx = _coarse_targets_from_global(p_y, p_x, s, h, w)
+        flow, cost = _merge_proposal(
+            pack1, pack2, flow, cost, pgy, pgx, cost_cfg, tap_chunk
         )
-        cost = jnp.where(better, prop_cost, cost)
+
+    return _polish_direction(
+        pack1, pack2, flow, cost, match_cfg, cost_cfg, tap_chunk
+    )
+
+
+def match_coarse_bidi(
+    img1: jnp.ndarray,
+    img2: jnp.ndarray,
+    cost_cfg: CostConfig,
+    match_cfg: MatchConfig,
+    tap_chunk: int = 25,
+    pack1: Optional[jnp.ndarray] = None,
+    pack2: Optional[jnp.ndarray] = None,
+    init_flow: Optional[jnp.ndarray] = None,
+):
+    """Bidirectional coarse matching in one program: returns
+    ((tx1, ty1, c1), (tx2, ty2, c2)), per-direction results identical to
+    two ``match_coarse`` calls.
+
+    The left-right check needs both directions every frame
+    (bao_flow_patchmatch_multiscale_cuda.cpp:223-233); computing them
+    together shares what two single-direction calls duplicate — the two
+    mini-pyramids, the descriptor builds, and (the dominant term) the
+    global N^2 descriptor score sweep, which one ``global_match_bidi``
+    pass reduces over both axes at once.  ``init_flow`` seeds the
+    forward direction; the backward direction uses its negation (the
+    standard temporal-coherence approximation).
+    """
+    h, w = img1.shape[0], img1.shape[1]
+    h2, w2 = img2.shape[0], img2.shape[1]
+    skip_global = init_flow is not None and match_cfg.warm_skip_global
+    levels = min(
+        _mini_levels(h, w, match_cfg), _mini_levels(h2, w2, match_cfg)
+    )
+    packs1 = _mini_pyramid(img1, levels, pack0=pack1)
+    packs2 = _mini_pyramid(img2, levels, pack0=pack2)
+    pack1, pack2 = packs1[0], packs2[0]
+    mini_cost = _make_mini_cost(cost_cfg, match_cfg)
+
+    if skip_global:
+        flow_f, cost_f = descend_level(
+            pack1, pack2, init_flow, match_cfg.descent_radius, cost_cfg,
+            tap_chunk,
+        )
+        flow_b, cost_b = descend_level(
+            pack2, pack1, -init_flow, match_cfg.descent_radius, cost_cfg,
+            tap_chunk,
+        )
+    elif levels > 0:
+        tiny1, tiny2 = packs1[-1], packs2[-1]
+        d1 = patch_descriptors(tiny1, match_cfg)
+        d2 = patch_descriptors(tiny2, match_cfg)
+        t1y, t1x, t2y, t2x = global_match_bidi(d1, d2, match_cfg.global_block)
+        flow_f, cost_f = _descend_chain(
+            packs1, packs2, (t1y, t1x), match_cfg, cost_cfg, mini_cost,
+            tap_chunk,
+        )
+        flow_b, cost_b = _descend_chain(
+            packs2, packs1, (t2y, t2x), match_cfg, cost_cfg, mini_cost,
+            tap_chunk,
+        )
+    else:
+        flow_f = jnp.zeros((h, w, 2), jnp.float32)
+        flow_b = jnp.zeros((h2, w2, 2), jnp.float32)
+        cost_f = rescore(
+            pack1, pack2, jnp.zeros((h, w), jnp.int32),
+            jnp.zeros((h, w), jnp.int32), cost_cfg, tap_chunk,
+        )
+        cost_b = rescore(
+            pack2, pack1, jnp.zeros((h2, w2), jnp.int32),
+            jnp.zeros((h2, w2), jnp.int32), cost_cfg, tap_chunk,
+        )
+
+    if init_flow is not None and not skip_global:
+        igx = jnp.trunc(init_flow[..., 0]).astype(jnp.int32)
+        igy = jnp.trunc(init_flow[..., 1]).astype(jnp.int32)
+        flow_f, cost_f = _merge_proposal(
+            pack1, pack2, flow_f, cost_f, igy, igx, cost_cfg, tap_chunk
+        )
+        bgx = jnp.trunc(-init_flow[..., 0]).astype(jnp.int32)
+        bgy = jnp.trunc(-init_flow[..., 1]).astype(jnp.int32)
+        flow_b, cost_b = _merge_proposal(
+            pack2, pack1, flow_b, cost_b, bgy, bgx, cost_cfg, tap_chunk
+        )
+
+    if match_cfg.global_at_coarse and not skip_global:
+        s = 2 if (
+            max(h * w, h2 * w2) > match_cfg.global_stride_threshold
+        ) else 1
+        dc1 = patch_descriptors(pack1, match_cfg, stride=s)
+        dc2 = patch_descriptors(pack2, match_cfg, stride=s)
+        p1y, p1x, p2y, p2x = global_match_bidi(
+            dc1, dc2, match_cfg.global_block
+        )
+        pgy, pgx = _coarse_targets_from_global(p1y, p1x, s, h, w)
+        flow_f, cost_f = _merge_proposal(
+            pack1, pack2, flow_f, cost_f, pgy, pgx, cost_cfg, tap_chunk
+        )
+        pgy, pgx = _coarse_targets_from_global(p2y, p2x, s, h2, w2)
+        flow_b, cost_b = _merge_proposal(
+            pack2, pack1, flow_b, cost_b, pgy, pgx, cost_cfg, tap_chunk
+        )
+
+    fwd = _polish_direction(
+        pack1, pack2, flow_f, cost_f, match_cfg, cost_cfg, tap_chunk
+    )
+    bwd = _polish_direction(
+        pack2, pack1, flow_b, cost_b, match_cfg, cost_cfg, tap_chunk
+    )
+    return fwd, bwd
+
+
+def _polish_direction(
+    pack1, pack2, flow, cost, match_cfg, cost_cfg, tap_chunk
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Shared tail of the coarse matcher: dense jump-flood propagation,
+    the final polish sweep, and the exact-cost stage."""
+    import dataclasses
+
+    h, w = flow.shape[0], flow.shape[1]
 
     # --- dense jump-flood propagation (spatial coherence) ---
     if match_cfg.prop_steps:

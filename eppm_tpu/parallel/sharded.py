@@ -47,7 +47,7 @@ from jax import shard_map
 
 from ..config import DEFAULT_CONFIG, EPPMConfig, UNKNOWN_FLOW
 from ..ops.dense import dense_refine_flow, median3_flow, warp_pack
-from ..ops.match import match_coarse
+from ..ops.match import match_coarse_bidi
 from ..ops.patchmatch import patchmatch
 from ..ops.refine import (
     blf_refine_flow,
@@ -173,15 +173,10 @@ def _pair_flow_tiled(
         if init_flow is not None:
             ch, cw = packs1[top].shape[0], packs1[top].shape[1]
             ci = _coarse_init(init_flow, ch, cw, cfg)
-        tx1, ty1, c1 = match_coarse(
+        (tx1, ty1, c1), (tx2, ty2, c2) = match_coarse_bidi(
             levels1[top], levels2[top], cfg.cost, cfg.match,
             cfg.cost_tap_chunk, packs1[top], packs2[top],
             init_flow=ci,
-        )
-        tx2, ty2, c2 = match_coarse(
-            levels2[top], levels1[top], cfg.cost, cfg.match,
-            cfg.cost_tap_chunk, packs2[top], packs1[top],
-            init_flow=None if ci is None else -ci,
         )
     else:
         tx1, ty1, c1 = patchmatch(

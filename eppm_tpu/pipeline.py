@@ -42,7 +42,7 @@ from .config import DEFAULT_CONFIG, EPPMConfig
 from .ops.census import census_transform
 from .ops.cost import pack_frame
 from .ops.dense import dense_refine_flow, median3_flow
-from .ops.match import match_coarse
+from .ops.match import match_coarse_bidi
 from .ops.patchmatch import patchmatch
 from .ops.refine import (
     blf_refine_flow,
@@ -127,15 +127,13 @@ def compute_flow(
         if init_flow is not None:
             ch, cw = packs1[top].shape[0], packs1[top].shape[1]
             ci = _coarse_init(init_flow, ch, cw, cfg)
-        tx1, ty1, c1 = match_coarse(
+        # Both directions in one bidirectional matcher: the mini-
+        # pyramids, descriptor builds, and the global N^2 score sweep
+        # are shared (ops/match.py match_coarse_bidi).
+        (tx1, ty1, c1), (tx2, ty2, c2) = match_coarse_bidi(
             levels1[top], levels2[top], cfg.cost, cfg.match,
             cfg.cost_tap_chunk, packs1[top], packs2[top],
             init_flow=ci,
-        )
-        tx2, ty2, c2 = match_coarse(
-            levels2[top], levels1[top], cfg.cost, cfg.match,
-            cfg.cost_tap_chunk, packs2[top], packs1[top],
-            init_flow=None if ci is None else -ci,
         )
     else:
         tx1, ty1, c1 = patchmatch(
@@ -226,15 +224,23 @@ def _prep_stage(img, cfg):
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def _match_stage(lvl1, lvl2, pk1, pk2, key, cfg, init_flow=None):
+def _match_stage_bidi(lvl1, lvl2, pk1, pk2, key, cfg, init_flow=None):
+    """Both match directions in one staged program.  The dense engine
+    shares pyramids/descriptors/global sweep (match_coarse_bidi); the
+    PatchMatch engine runs its two independent searches."""
     if cfg.match_engine == "dense":
-        return match_coarse(
+        return match_coarse_bidi(
             lvl1, lvl2, cfg.cost, cfg.match, cfg.cost_tap_chunk, pk1, pk2,
             init_flow=init_flow,
         )
-    return patchmatch(
-        pk1, pk2, key, cfg.patchmatch, cfg.cost, cfg.cost_tap_chunk
+    k_fwd, k_bwd = jax.random.split(key)
+    m1 = patchmatch(
+        pk1, pk2, k_fwd, cfg.patchmatch, cfg.cost, cfg.cost_tap_chunk
     )
+    m2 = patchmatch(
+        pk2, pk1, k_bwd, cfg.patchmatch, cfg.cost, cfg.cost_tap_chunk
+    )
+    return m1, m2
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -335,7 +341,6 @@ def compute_flow_jit(img1, img2, key=None, cfg=DEFAULT_CONFIG,
         )
     if key is None:
         key = jax.random.PRNGKey(cfg.seed)
-    k_fwd, k_bwd = jax.random.split(key)
     levels1, packs1 = _prep_stage(img1, cfg)
     levels2, packs2 = _prep_stage(img2, cfg)
     top = len(packs1) - 1
@@ -343,13 +348,9 @@ def compute_flow_jit(img1, img2, key=None, cfg=DEFAULT_CONFIG,
     if init_flow is not None and cfg.match_engine == "dense":
         ch, cw = packs1[top].shape[0], packs1[top].shape[1]
         ci = _coarse_init_stage(init_flow, ch, cw, cfg)
-    m1 = _match_stage(
-        levels1[top], levels2[top], packs1[top], packs2[top], k_fwd, cfg,
+    m1, m2 = _match_stage_bidi(
+        levels1[top], levels2[top], packs1[top], packs2[top], key, cfg,
         init_flow=ci,
-    )
-    m2 = _match_stage(
-        levels2[top], levels1[top], packs2[top], packs1[top], k_bwd, cfg,
-        init_flow=None if ci is None else -ci,
     )
     flow = _coarse_refine_stage(m1, m2, levels1[top], cfg)
     for lvl in range(top - 1, -1, -1):

@@ -131,13 +131,16 @@ for lvl in range(top - 1, -1, -1):
     timeit(
         f"dense_refine L{lvl} ({oh}x{ow}) pass2 (+median)",
         lambda f, p1, p2: dense_refine_flow(
-            median3_flow(f), p1, p2, cfg.cost, cfg.dense_search_radius,
-            cfg.dense_pass2_planes, cfg.cost_tap_chunk),
+            median3_flow(f), p1, p2, cfg.pass2_cost,
+            cfg.dense_search_radius,
+            cfg.dense_pass2_planes, cfg.cost_tap_chunk,
+            cand_shape=cfg.pass2_cand_shape),
         flow, packs1[lvl], packs2[lvl],
     )
     ref2 = jax.jit(lambda f, p1, p2: dense_refine_flow(
-        median3_flow(f), p1, p2, cfg.cost, cfg.dense_search_radius,
-        cfg.dense_pass2_planes, cfg.cost_tap_chunk))
+        median3_flow(f), p1, p2, cfg.pass2_cost, cfg.dense_search_radius,
+        cfg.dense_pass2_planes, cfg.cost_tap_chunk,
+        cand_shape=cfg.pass2_cand_shape))
     flow = ref2(flow, packs1[lvl], packs2[lvl])
     timeit(f"flow_smoothing L{lvl}",
            lambda f, i: flow_smoothing(f, i, cfg.refine), flow, levels1[lvl])

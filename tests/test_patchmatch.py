@@ -66,3 +66,47 @@ def test_patchmatch_cost_decreases(rng):
         p1, p2, key, PatchMatchConfig(num_iters=4, prop_steps=(1,)), cost_cfg
     )
     assert float(np.asarray(c4).mean()) <= float(np.asarray(c1).mean()) + 1e-6
+
+
+def test_match_coarse_bidi_equals_two_calls(rng):
+    """match_coarse_bidi shares pyramids/descriptors/global sweep across
+    directions but must return per-direction results identical to two
+    match_coarse calls (same quantized scores, same tie order)."""
+    from eppm_tpu.config import MatchConfig
+    from eppm_tpu.ops.match import match_coarse, match_coarse_bidi
+
+    h, w = 40, 48
+    img2 = rng.random((h, w, 3)).astype(np.float32)
+    img1 = np.roll(img2, (-2, -1), axis=(1, 0))
+    i1, i2 = jnp.asarray(img1), jnp.asarray(img2)
+    cost_cfg = CostConfig(patch_radius=4, sigma_spatial=2.0)
+    mcfg = MatchConfig(descent_levels=1, min_level_dim=16,
+                       prop_steps=(2, 1), final_radius=1)
+    fwd = match_coarse(i1, i2, cost_cfg, mcfg)
+    bwd = match_coarse(i2, i1, cost_cfg, mcfg)
+    bf, bb = match_coarse_bidi(i1, i2, cost_cfg, mcfg)
+    for a, b in zip(fwd + bwd, bf + bb):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_match_coarse_bidi_warm_start(rng):
+    """Warm-start (init_flow) bidi equals two warm single-direction calls
+    (forward seeded as-is, backward negated)."""
+    from eppm_tpu.config import MatchConfig
+    from eppm_tpu.ops.match import match_coarse, match_coarse_bidi
+
+    h, w = 40, 48
+    img2 = rng.random((h, w, 3)).astype(np.float32)
+    img1 = np.roll(img2, (-2, -1), axis=(1, 0))
+    i1, i2 = jnp.asarray(img1), jnp.asarray(img2)
+    init = jnp.zeros((h, w, 2), jnp.float32) + jnp.asarray([1.0, 2.0])
+    cost_cfg = CostConfig(patch_radius=4, sigma_spatial=2.0)
+    for skip in (True, False):
+        mcfg = MatchConfig(descent_levels=1, min_level_dim=16,
+                           prop_steps=(2, 1), final_radius=1,
+                           warm_skip_global=skip)
+        fwd = match_coarse(i1, i2, cost_cfg, mcfg, init_flow=init)
+        bwd = match_coarse(i2, i1, cost_cfg, mcfg, init_flow=-init)
+        bf, bb = match_coarse_bidi(i1, i2, cost_cfg, mcfg, init_flow=init)
+        for a, b in zip(fwd + bwd, bf + bb):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
