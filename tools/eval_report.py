@@ -33,16 +33,34 @@ ENGINES = [
 ]
 
 
-def run_eval(eval_dir, pattern, extra, border):
+def run_eval(eval_dir, pattern, extra, border, retries=2):
+    """One CLI eval run; bounded retry on nonzero exit.
+
+    The axon tunnel can drop a worker mid-run (observed 2026-08-20:
+    kitti/patchmatch died rc=1 after 100+ min of good runs, and the
+    identical command passed on manual rerun) — a failed subprocess is
+    retried rather than aborting a multi-hour dossier pass, mirroring
+    utils/guard.py's bounded-retry policy for in-process faults.
+    """
     cmd = [
         sys.executable, "-m", "eppm_tpu.cli",
         "--eval-dir", eval_dir, "--pattern", pattern,
         "--border", str(border), "--json", *extra,
     ]
     t0 = time.perf_counter()
-    out = subprocess.run(
-        cmd, capture_output=True, text=True, cwd=ROOT, check=True
-    )
+    for attempt in range(retries + 1):
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, cwd=ROOT
+        )
+        if out.returncode == 0:
+            break
+        print(f"  attempt {attempt + 1} failed rc={out.returncode}: "
+              f"{out.stderr.strip().splitlines()[-1] if out.stderr else ''}",
+              flush=True)
+        if attempt == retries:
+            raise RuntimeError(f"eval failed after {retries + 1} tries: "
+                               f"{eval_dir} {extra}")
+        time.sleep(20)
     dt = time.perf_counter() - t0
     line = out.stdout.strip().splitlines()[-1]
     return json.loads(line), dt
@@ -53,7 +71,14 @@ def main():
     p.add_argument("--root", default="evalset")
     p.add_argument("--border", type=int, default=12)
     p.add_argument("--out", default="EVAL.md")
+    p.add_argument(
+        "--engines", default="dense,patchmatch",
+        help="comma list; the PM engine's gathered search is ~3x the "
+        "dense engine's device time — 'dense' gives a fast smoke pass "
+        "(writes no EVAL.md unless both engines ran)",
+    )
     args = p.parse_args()
+    engines = [e for e in ENGINES if e[0] in args.engines.split(",")]
     root = os.path.join(ROOT, args.root)
     if not os.path.isdir(root):
         raise SystemExit(
@@ -61,14 +86,41 @@ def main():
             f"{args.root}"
         )
 
+    # Per-(group, engine) checkpoint: a crashed or interrupted pass
+    # resumes instead of redoing hours of device time.  The checkpoint
+    # is keyed by commit so stale results never leak across code states.
+    ckpt_path = os.path.join(root, ".eval_ckpt.json")
+    head = subprocess.run(
+        ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+        cwd=ROOT,
+    ).stdout.strip()
+    ckpt = {}
+    if os.path.exists(ckpt_path):
+        try:
+            with open(ckpt_path) as f:
+                saved = json.load(f)
+            if saved.get("head") == head:
+                ckpt = saved.get("results", {})
+        except Exception:
+            pass
+
     results = {}
     for ds, pattern in DATASETS:
-        for ename, extra in ENGINES:
+        for ename, extra in engines:
+            key = f"{ds}/{ename}"
+            if key in ckpt:
+                results[(ds, ename)] = ckpt[key]
+                print(f"{key}: checkpointed "
+                      f"(mean EPE {ckpt[key]['mean_epe']:.3f})", flush=True)
+                continue
             print(f"evaluating {ds} / {ename} ...", flush=True)
             summary, dt = run_eval(
                 os.path.join(root, ds), pattern, extra, args.border
             )
             results[(ds, ename)] = summary
+            ckpt[key] = summary
+            with open(ckpt_path, "w") as f:
+                json.dump({"head": head, "results": ckpt}, f)
             print(f"  mean EPE {summary['mean_epe']:.3f}  ({dt:.0f}s)",
                   flush=True)
 
@@ -90,7 +142,7 @@ def main():
     a1 = np.asarray(img1, np.float64) / 255.0
     a2 = np.asarray(img2, np.float64) / 255.0
     grove = {}
-    for ename, extra in ENGINES:
+    for ename, extra in engines:
         cfg = apply_overrides(DEFAULT_CONFIG, [e for e in extra if "=" in e])
         f = np.asarray(
             compute_flow_jit(img1, img2, jax.random.PRNGKey(0), cfg)
@@ -98,8 +150,46 @@ def main():
         grove[ename] = warp_error(a1, a2, f)
     grove["zero-flow"] = warp_error(a1, a2, np.zeros(a1.shape[:2] + (2,)))
 
+    # Provenance stamp: the commit + config the numbers were generated
+    # at (round-3 lesson: a dossier that outlives its defaults is worse
+    # than none).  Any default-changing commit must regenerate EVAL.md
+    # (tools/requalify.sh runs this; see the gate note below).
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], capture_output=True,
+            text=True, cwd=ROOT,
+        ).stdout.strip() or "unknown"
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain", "--untracked-files=no"],
+            capture_output=True, text=True, cwd=ROOT,
+        ).stdout.strip()
+        if dirty:
+            commit += "+dirty"
+    except Exception:
+        commit = "unknown"
+    import datetime
+
+    stamp = datetime.date.today().isoformat()
+
+    if len(engines) < len(ENGINES):
+        # smoke pass: print machine-readable results, do NOT overwrite
+        # the two-engine dossier
+        print(json.dumps({
+            "commit": commit, "date": stamp, "smoke": True,
+            "groups": {f"{ds}/{en}": res
+                       for (ds, en), res in results.items()},
+            "grove_warp_error": grove,
+        }, indent=1, sort_keys=True))
+        return
+
     lines = [
         "# EVAL — dataset accuracy dossier",
+        "",
+        f"Generated {stamp} at commit `{commit}` with the in-tree",
+        "DEFAULT_CONFIG (plus `match_engine=patchmatch` for the PM",
+        "columns).  GATE: regenerate this file (tools/requalify.sh or",
+        "`python tools/eval_report.py`) in any commit that changes a",
+        "config default — a stale dossier hides regressions.",
         "",
         "Per-sequence EPE / AAE(deg) / bad3 for both engines, produced by",
         "`python -m eppm_tpu.cli --eval-dir` on the deterministic synthetic",
@@ -149,6 +239,20 @@ def main():
     with open(out_path, "w") as f:
         f.write("\n".join(lines))
     print("wrote", out_path)
+    # machine-readable sibling for regression diffing
+    raw = {
+        "commit": commit,
+        "date": stamp,
+        "border": args.border,
+        "groups": {
+            f"{ds}/{en}": res for (ds, en), res in results.items()
+        },
+        "grove_warp_error": grove,
+    }
+    json_path = os.path.splitext(out_path)[0] + ".json"
+    with open(json_path, "w") as f:
+        json.dump(raw, f, indent=1, sort_keys=True)
+    print("wrote", json_path)
 
 
 if __name__ == "__main__":

@@ -23,5 +23,5 @@ run bench_table    3600 python tools/bench_table.py
 run profile_1080p  1800 python profile_stages.py 1080x1920
 run quality        3600 python tools/quality_report.py
 run make_eval_set   600 python tools/make_eval_set.py --root evalset
-run eval           3600 python tools/eval_report.py --root evalset
+run eval          10800 python tools/eval_report.py --root evalset
 echo DONE >> "$log"
