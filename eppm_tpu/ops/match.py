@@ -54,6 +54,7 @@ from .resize import bilinear_resize, gaussian_filter
 __all__ = [
     "patch_descriptors",
     "global_match",
+    "global_match_xla",
     "global_match_bidi",
     "descend_level",
     "match_coarse",
@@ -102,6 +103,18 @@ def patch_descriptors(
     return out.astype(jnp.bfloat16)
 
 
+# Above this many frame-2 targets the streaming Pallas argmax
+# (ops/pallas_match.py) beats the XLA blockwise form: the XLA path
+# materializes each (N1, block) score panel in HBM, the kernel keeps the
+# running (max, argmax) in VMEM.  Measured crossover ~130k targets (XLA
+# ~106 ms vs kernel ~130 ms there; per-grid-step overhead amortizes as N
+# grows).  Defaults never reach this regime (auto_depth_dim=160 caps the
+# coarse level ~46k px) — the gate exists for reference-faithful depth-3
+# configs at 4K+ (auto_depth_dim=0: coarse 518k px, strided 130k) and
+# anything larger.  tools/tpu_check.py validates kernel==oracle on chip.
+GLOBAL_MATCH_PALLAS_MIN_N2 = 200_000
+
+
 def global_match(
     desc1: jnp.ndarray, desc2: jnp.ndarray, block: int = 2048
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -109,7 +122,27 @@ def global_match(
     MXU score matmul: argmin |a-b|^2 == argmax (a.b - |b|^2/2).
 
     Returns (ty, tx) int32 absolute target fields for frame 1 pixels.
+    Dispatches to the streaming Pallas argmax kernel above
+    ``GLOBAL_MATCH_PALLAS_MIN_N2`` frame-2 targets (see note there).
     """
+    from ._util import on_tpu
+
+    if (
+        on_tpu()
+        and desc2.shape[0] * desc2.shape[1] >= GLOBAL_MATCH_PALLAS_MIN_N2
+    ):
+        from .pallas_match import global_argmax_pallas
+
+        return global_argmax_pallas(desc1, desc2)
+    return global_match_xla(desc1, desc2, block)
+
+
+def global_match_xla(
+    desc1: jnp.ndarray, desc2: jnp.ndarray, block: int = 2048
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """The XLA blockwise form of ``global_match`` (running argmax over
+    score panels via lax.scan) — also the oracle the Pallas kernel is
+    validated against (tools/tpu_check.py)."""
     h, w = desc1.shape[0], desc1.shape[1]
     h2, w2 = desc2.shape[0], desc2.shape[1]
     d = desc1.shape[2]

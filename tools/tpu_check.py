@@ -119,6 +119,33 @@ def main():
     check("global_argmax_pallas", int(mism.sum()) == 0,
           f"mismatch={int(mism.sum())}")
 
+    # --- large-N dispatch: global_match routes to the Pallas kernel
+    # above GLOBAL_MATCH_PALLAS_MIN_N2 frame-2 targets; validate that
+    # real dispatch path against the XLA oracle at a just-above-gate
+    # shape (the regime reference-faithful depth-3 4K configs hit).
+    from eppm_tpu.ops.match import (
+        GLOBAL_MATCH_PALLAS_MIN_N2, global_match_xla,
+    )
+
+    dd = d1.shape[-1]
+    big1 = jnp.asarray(
+        rng.normal(0, 1, (48, 128, dd)).astype(np.float32)
+    ).astype(d1.dtype)
+    h_big = -(-GLOBAL_MATCH_PALLAS_MIN_N2 // 512)
+    big2 = jnp.asarray(
+        rng.normal(0, 1, (h_big, 512, dd)).astype(np.float32)
+    ).astype(d1.dtype)
+    assert h_big * 512 >= GLOBAL_MATCH_PALLAS_MIN_N2
+    ty_d, tx_d = jax.jit(global_match)(big1, big2)
+    ty_o, tx_o = jax.jit(
+        lambda a, b: global_match_xla(a, b, cfg.match.global_block)
+    )(big1, big2)
+    mism = (np.asarray(ty_d) != np.asarray(ty_o)) | (
+        np.asarray(tx_d) != np.asarray(tx_o)
+    )
+    check("global_match large-N dispatch", int(mism.sum()) == 0,
+          f"mismatch={int(mism.sum())}")
+
     # --- end-to-end quality gate (Grove) ---
     from eppm_tpu.metrics import warp_error
     from eppm_tpu.pipeline import compute_flow_jit
