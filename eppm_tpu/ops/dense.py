@@ -286,6 +286,7 @@ def dense_refine_flow(
     cand_shape: str = "square",
     subpixel_fit: bool = False,
     gather_dtype=None,
+    subpixel_min_curv: float = 0.0,
 ) -> jnp.ndarray:
     """Drop-in dense replacement for ``blf_refine_flow`` (ops/refine.py).
 
@@ -303,6 +304,15 @@ def dense_refine_flow(
     cheap counterpart of the reference's unused 5x5 half-pixel quadratic
     stage (bao_pmflow_refine_kernel.cu:393-633): zero extra cost
     evaluations, fractional only where the surface is locally convex.
+
+    ``subpixel_min_curv`` is the confidence gate on that fit: the axis
+    curvature (lo - 2*cc + hi, in normalized cost units) must exceed it
+    or the axis keeps the integer argmin.  Rationale: on true integer
+    motion the spurious fractional offset is noise/curvature — a
+    curvature floor suppresses exactly the weak-minimum pixels where
+    texture noise dominates, while clearly-convex minima (where the
+    parabola is trustworthy) keep their fractional estimate.  0 restores
+    the ungated fit.
 
     ``warped2`` lets callers supply a pre-warped pack; ``origin`` is the
     global position of the tile's top-left pixel (sharded fine levels run
@@ -365,10 +375,12 @@ def dense_refine_flow(
             & (cu < FLT_MAX) & (cd < FLT_MAX)
         )
 
+        curv_floor = max(float(subpixel_min_curv), 1e-8)
+
         def fit(lo, hi):
             den = lo - 2.0 * cc + hi
             d = 0.5 * (lo - hi) / jnp.maximum(den, 1e-8)
-            return jnp.where(den > 1e-8, jnp.clip(d, -0.5, 0.5), 0.0)
+            return jnp.where(den > curv_floor, jnp.clip(d, -0.5, 0.5), 0.0)
 
         out_u = out_u + jnp.where(valid, fit(cl, cr), 0.0)
         out_v = out_v + jnp.where(valid, fit(cu, cd), 0.0)

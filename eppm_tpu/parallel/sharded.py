@@ -272,6 +272,7 @@ def _pair_flow_tiled(
                     ),
                     subpixel_fit=sub,
                     gather_dtype=cfg.warp_dtype,
+                    subpixel_min_curv=cfg.dense_subpixel_min_curv,
                 )
                 return ext[G:-G, G:-G]
 

@@ -178,6 +178,7 @@ def compute_flow(
                 cfg.cost_tap_chunk, cand_shape=cfg.dense_cand_shape,
                 subpixel_fit=fit and n == 1,
                 gather_dtype=cfg.warp_dtype,
+                subpixel_min_curv=cfg.dense_subpixel_min_curv,
             )
             for i in range(n - 1):
                 flow = dense_refine_flow(
@@ -187,6 +188,7 @@ def compute_flow(
                     cfg.cost_tap_chunk, cand_shape=cfg.pass2_cand_shape,
                     subpixel_fit=fit and i == n - 2,
                     gather_dtype=cfg.warp_dtype,
+                    subpixel_min_curv=cfg.dense_subpixel_min_curv,
                 )
         else:
             flow = blf_refine_flow(
@@ -284,6 +286,7 @@ def _refine_pass_stage(flow, pack1, pack2, cfg, oh, ow, med, sub=False):
         cand_shape=cfg.pass2_cand_shape if med else cfg.dense_cand_shape,
         subpixel_fit=sub,
         gather_dtype=cfg.warp_dtype,
+        subpixel_min_curv=cfg.dense_subpixel_min_curv,
     )
 
 
