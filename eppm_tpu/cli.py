@@ -32,8 +32,47 @@ from .config import DEFAULT_CONFIG, EPPMConfig
 __all__ = ["main", "apply_overrides", "load_image"]
 
 
+# Named presets: a preset expands to ordinary --set overrides BEFORE any
+# user override in the same command (so --set preset=fast --set k=v lets
+# v win).  "fast" is the measured speed/quality trade for real-time-
+# leaning deployments; its fps + EPE deltas vs the default are published
+# in PERF.md ("fast-1080p preset").
+PRESETS = {
+    "fast": [
+        # plus-shaped candidate set: ~1.8x less refine arithmetic,
+        # +0.010 mean EPE on the synthetic sweep (config.py).
+        "dense_cand_shape=plus",
+        # sparser pass-1 grid on the stabilized warp: radius 8 stride 4
+        # (the measured-safe centered 25-tap grid already default for
+        # pass 2) halves the dominant L0 pass-1 kernel.
+        "cost.patch_stride=4",
+        "cost.patch_radius=8",
+        # occlusion WMF at its measured 240x320 fixed point (2) + 1.
+        "refine.wmf_coarse_iters=3",
+        # lighter final smoothing: radius 6 instead of 10.
+        "refine.blf_sigma_spatial=3.0",
+    ],
+}
+
+
 def apply_overrides(cfg: EPPMConfig, overrides: List[str]) -> EPPMConfig:
-    """Apply "dotted.path=value" overrides to the (frozen) config tree."""
+    """Apply "dotted.path=value" overrides to the (frozen) config tree.
+
+    ``preset=NAME`` expands to the named override list (PRESETS) in
+    place, so later explicit overrides win over the preset's choices.
+    """
+    expanded: List[str] = []
+    for ov in overrides:
+        if ov.startswith("preset="):
+            name = ov.split("=", 1)[1]
+            if name not in PRESETS:
+                raise SystemExit(
+                    f"unknown preset {name!r} (have: {sorted(PRESETS)})"
+                )
+            expanded.extend(PRESETS[name])
+        else:
+            expanded.append(ov)
+    overrides = expanded
     for ov in overrides:
         if "=" not in ov:
             raise SystemExit(f"--set expects key=value, got {ov!r}")

@@ -524,3 +524,27 @@ def test_cli_stream_mode_png(tmp_path, rng):
     b = 8
     # known motion: -2 px horizontal per frame
     assert abs(np.median(f[b:-b, b:-b, 0]) - (-2.0)) < 0.75
+
+
+def test_cli_preset_expansion():
+    """--set preset=fast expands to its override list; later explicit
+    overrides win; unknown presets are rejected."""
+    from eppm_tpu.cli import PRESETS, apply_overrides
+    from eppm_tpu.config import DEFAULT_CONFIG
+
+    cfg = apply_overrides(DEFAULT_CONFIG, ["preset=fast"])
+    assert cfg.dense_cand_shape == "plus"
+    assert cfg.cost.patch_stride == 4
+    assert cfg.refine.wmf_coarse_iters == 3
+    # explicit override after the preset wins
+    cfg2 = apply_overrides(
+        DEFAULT_CONFIG, ["preset=fast", "refine.wmf_coarse_iters=5"]
+    )
+    assert cfg2.refine.wmf_coarse_iters == 5
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        apply_overrides(DEFAULT_CONFIG, ["preset=nope"])
+    # every preset override must parse against the real config tree
+    for name, ovs in PRESETS.items():
+        apply_overrides(DEFAULT_CONFIG, [f"preset={name}"])
