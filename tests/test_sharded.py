@@ -395,3 +395,84 @@ def test_sharded_plus_cand_shape(rng):
     np.testing.assert_array_equal(outs[(1, 2)], outs[(2, 2)])
     d = np.abs(outs[(1, 2)] - single).max(axis=-1)
     assert (d < 1e-3).mean() > 0.98
+
+
+@pytest.mark.slow
+def test_sharded_default_config_moderate_shape(rng):
+    """96x160 at the FULL default config (EPPMConfig()), both engines,
+    through the (1,2,2) mesh — the round-3 dryrun only exercised trimmed
+    configs at tiny shapes.  Gates per the documented cross-program
+    contract (test_sharded_matches_single_chip): decision-level agreement
+    with the single-chip program, near-zero mean delta, and BITWISE
+    mesh-shape invariance between (1,2) and (2,2) tilings of the same
+    sharded program family."""
+    import dataclasses
+
+    h, w = 96, 160
+    img2 = _textured(rng, h, w)
+    img1 = np.roll(img2, (-4, -3), axis=(1, 0))
+    for engine in ("dense", "patchmatch"):
+        cfg = dataclasses.replace(EPPMConfig(), match_engine=engine)
+        key = jax.random.PRNGKey(cfg.seed)
+        single = np.asarray(
+            compute_flow(jnp.asarray(img1), jnp.asarray(img2), key, cfg)
+        )
+        outs = {}
+        for (ny, nx) in [(1, 2), (2, 2)]:
+            mesh = make_mesh(batch=1, y=ny, x=nx)
+            outs[(ny, nx)] = np.asarray(
+                compute_flow_sharded(
+                    jnp.asarray(img1)[None], jnp.asarray(img2)[None],
+                    mesh, cfg, keys=key[None],
+                )
+            )[0]
+        np.testing.assert_array_equal(outs[(1, 2)], outs[(2, 2)])
+        d = np.abs(outs[(2, 2)] - single).max(axis=-1)
+        agree = (d < 1e-3).mean()
+        assert agree > 0.98, f"{engine}: only {agree:.2%} of pixels agree"
+        assert float(np.mean(d)) < 0.05, f"{engine}: mean {np.mean(d):.3f}"
+
+
+@pytest.mark.slow
+def test_sharded_temporal_streaming_chain(rng):
+    """Temporal streaming through the mesh: 3 frames -> 2 pairs, the
+    second pair warm-started from the first pair's SHARDED flow (the
+    real streaming dataflow, flow never leaving the mesh layout).  The
+    chained sharded result must agree with the single-chip chain at the
+    cross-program gate and be bitwise deterministic across reruns."""
+    import dataclasses
+
+    from eppm_tpu.pipeline import compute_flow as cf
+
+    h, w = 64, 96
+    f0 = _textured(rng, h, w)
+    f1 = np.roll(f0, (3, 1), axis=(1, 0))
+    f2 = np.roll(f0, (6, 2), axis=(1, 0))
+    cfg = _cfg(depth=2)
+    key = jax.random.PRNGKey(cfg.seed)
+    mesh = make_mesh(batch=1, y=2, x=2)
+
+    def sharded_chain():
+        fl01 = compute_flow_sharded(
+            jnp.asarray(f0)[None], jnp.asarray(f1)[None], mesh, cfg,
+            keys=key[None],
+        )
+        fl12 = compute_flow_sharded(
+            jnp.asarray(f1)[None], jnp.asarray(f2)[None], mesh, cfg,
+            keys=key[None], init_flows=fl01,
+        )
+        return np.asarray(fl01)[0], np.asarray(fl12)[0]
+
+    s01 = cf(jnp.asarray(f0), jnp.asarray(f1), key, cfg)
+    s12 = np.asarray(
+        cf(jnp.asarray(f1), jnp.asarray(f2), key, cfg, init_flow=s01)
+    )
+    t01, t12 = sharded_chain()
+    d = np.abs(t12 - s12).max(axis=-1)
+    agree = (d < 1e-3).mean()
+    assert agree > 0.95, f"chained: only {agree:.2%} of pixels agree"
+    assert float(np.mean(d)) < 0.1, f"chained mean {np.mean(d):.3f}"
+    # bitwise determinism of the chained sharded programs
+    r01, r12 = sharded_chain()
+    np.testing.assert_array_equal(r01, t01)
+    np.testing.assert_array_equal(r12, t12)
