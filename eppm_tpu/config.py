@@ -309,6 +309,28 @@ class RefineConfig:
     # less work.  --set refine.wmf_coarse_iters=20 restores the
     # reference schedule.
     wmf_coarse_iters: int = 5
+    # Occlusion reconstruction order at the coarse level.  False = the
+    # reference-faithful order (occlusion WMF then hole fill); True =
+    # fill-then-polish (ops/pallas_wmf.py::wmf_polish_occlusions):
+    # holes are initialized by the 4-direction color-nearest fill, then
+    # wmf_coarse_iters frozen-valid WMF iterations re-median each hole
+    # from originally-valid data.  Rationale: the reference's in-place
+    # sequential WMF diffuses across an occluded band in few passes; a
+    # clean Jacobi port needs ~band/radius passes and compounds errors
+    # inward (layered stress case: 6.7 px mean band error after 5
+    # Jacobi iterations vs ~bg-level error with fill-first — see
+    # EVAL.md / PERF.md round-4 notes).
+    wmf_fill_first: bool = False
+    # Dilation schedule of the fill-first polish cascade (coarse to
+    # fine; each entry is one frozen-valid WMF pass with window offsets
+    # scaled by the entry).  Measured on the layered stress case
+    # (tools/layered_diag.py): plain (1,) beats (4,1) and (8,2,1) —
+    # at the coarse level textures homogenize toward their means, so a
+    # dilated color-weighted median mixes the two layers' flows where
+    # the scanline fill's nearest-valid pick stays on one layer.  The
+    # dilated passes remain available for content with distinct coarse
+    # colors.
+    wmf_polish_dilations: Tuple[int, ...] = (1,)
     # Full-image WMF passes after hole filling at the coarse level
     # (0 disables).  No reference counterpart at the coarse level, but
     # the reference *intended* a full-image WMF at fine levels (the dead

@@ -183,6 +183,8 @@ def weighted_median_filter(
     num_iter: int = 1,
     only_occlusion: bool = False,
     support_chunk: int = 27,
+    polish_init=None,
+    dilation: int = 1,
 ):
     """Weighted-median displacement filter (refine_kernel.cu:206-286).
 
@@ -192,6 +194,11 @@ def weighted_median_filter(
     this min-cost form replaces a histogram WMF for memory reasons; we keep
     the same math.  CUDA iterates the kernel in place with racy reads; here
     each iteration is a clean Jacobi pass (read old field, write new).
+
+    ``polish_init`` (tx_fill, ty_fill): frozen-valid polish mode — see
+    ``ops.pallas_wmf.wmf_polish_occlusions`` (this is its XLA oracle).
+    Holes start from the fill, each iteration re-medians them from
+    ORIGINALLY-valid window data only, output is fully valid.
     """
     h, w = tx.shape
     r = cfg.wmf_radius
@@ -199,12 +206,17 @@ def weighted_median_filter(
     sig_s2 = cfg.wmf_sigma_spatial**2
     ys, xs = _grid(h, w)
 
-    # spatial LUT folded into per-tap constants
-    all_offs = [(dy, dx) for dy in range(-r, r + 1) for dx in range(-r, r + 1)]
+    # spatial LUT folded into per-tap constants.  ``dilation`` scales
+    # the offsets (jump-flood style; see pallas_wmf dilation note) but
+    # NOT the spatial term — sigma effectively scales with it.
+    all_offs = [
+        (dy * dilation, dx * dilation)
+        for dy in range(-r, r + 1) for dx in range(-r, r + 1)
+    ]
     gws = np.asarray(
         [
             math.exp(-(dy * dy) / sig_s2) * math.exp(-(dx * dx) / sig_s2)
-            for dy, dx in all_offs
+            for dy in range(-r, r + 1) for dx in range(-r, r + 1)
         ],
         np.float32,
     )
@@ -218,32 +230,51 @@ def weighted_median_filter(
 
     center = img  # (H, W, 3)
 
+    valid0 = ((tx >= 0) & (ty >= 0)).astype(jnp.float32)
+    if polish_init is not None:
+        ftx, fty = polish_init
+        tx = jnp.where(valid0 > 0, tx, ftx)
+        ty = jnp.where(valid0 > 0, ty, fty)
+
     def one_pass(tx, ty):
         ox = (tx - xs).astype(jnp.float32)
         oy = (ty - ys).astype(jnp.float32)
-        valid = ((tx >= 0) & (ty >= 0)).astype(jnp.float32)
-        # pad: out-of-image supports/candidates invalid
-        pox = jnp.pad(ox, r)
-        poy = jnp.pad(oy, r)
-        pvalid = jnp.pad(valid, r)  # zero outside
-        pimg = jnp.pad(img, ((r, r), (r, r), (0, 0)), mode="edge")
+        if polish_init is not None:
+            valid = valid0
+        else:
+            valid = ((tx >= 0) & (ty >= 0)).astype(jnp.float32)
+        # pad: out-of-image supports/candidates invalid (pad covers the
+        # dilated window's true reach)
+        reach = r * dilation
+        pox = jnp.pad(ox, reach)
+        poy = jnp.pad(oy, reach)
+        pvalid = jnp.pad(valid, reach)  # zero outside
+        pimg = jnp.pad(img, ((reach, reach), (reach, reach), (0, 0)),
+                       mode="edge")
 
         def support_weight(dy, dx, gw):
-            sv = jax.lax.dynamic_slice(pvalid, (r + dy, r + dx), (h, w))
-            spix = jax.lax.dynamic_slice(pimg, (r + dy, r + dx, 0), (h, w, 3))
+            sv = jax.lax.dynamic_slice(pvalid, (reach + dy, reach + dx),
+                                       (h, w))
+            spix = jax.lax.dynamic_slice(
+                pimg, (reach + dy, reach + dx, 0), (h, w, 3)
+            )
             d = jnp.abs(spix - center)
             dr = jnp.maximum(jnp.maximum(d[..., 0], d[..., 1]), d[..., 2])
             return sv * gw * jnp.exp(-(dr * dr) / sig_r2)
 
         def support_vals(dy, dx):
-            sox = jax.lax.dynamic_slice(pox, (r + dy, r + dx), (h, w))
-            soy = jax.lax.dynamic_slice(poy, (r + dy, r + dx), (h, w))
+            sox = jax.lax.dynamic_slice(pox, (reach + dy, reach + dx),
+                                        (h, w))
+            soy = jax.lax.dynamic_slice(poy, (reach + dy, reach + dx),
+                                        (h, w))
             return sox, soy
 
         def cand_step(carry, coff):
             best_cost, best_ox, best_oy = carry
             cdy, cdx = coff[0], coff[1]
-            cvalid = jax.lax.dynamic_slice(pvalid, (r + cdy, r + cdx), (h, w))
+            cvalid = jax.lax.dynamic_slice(
+                pvalid, (reach + cdy, reach + cdx), (h, w)
+            )
             cox, coy = support_vals(cdy, cdx)
 
             def sup_step(acc, sdata):
@@ -286,7 +317,13 @@ def weighted_median_filter(
             found, best_ox.astype(jnp.int32) + xs, tx
         )
         new_ty = jnp.where(found, best_oy.astype(jnp.int32) + ys, ty)
-        if only_occlusion:
+        if polish_init is not None:
+            # polish mode: only holes (w.r.t. the frozen original
+            # validity) are replaced; unreachable holes keep their fill
+            occ = valid0 == 0
+            new_tx = jnp.where(occ, new_tx, tx)
+            new_ty = jnp.where(occ, new_ty, ty)
+        elif only_occlusion:
             occ = (tx < 0) | (ty < 0)  # refine_kernel.cu:213
             new_tx = jnp.where(occ, new_tx, tx)
             new_ty = jnp.where(occ, new_ty, ty)

@@ -59,7 +59,10 @@ from ..ops.refine import (
     weighted_median_filter,
 )
 from ..ops.pallas_smooth import flow_smoothing_auto
-from ..ops.pallas_wmf import weighted_median_filter_auto
+from ..ops.pallas_wmf import (
+    coarse_occlusion_reconstruct,
+    weighted_median_filter_auto,
+)
 from ..ops.resize import bilinear_resize
 from ..pipeline import _coarse_init, prepare_pyramids
 from .halo import halo_exchange_2d
@@ -191,16 +194,9 @@ def _pair_flow_tiled(
         tx1, ty1, c1, tx2, ty2, c2, cfg.lr_thresh
     )
     tx1, ty1, c1 = outlier_removal(tx1, ty1, c1, cfg.refine)
-    tx1, ty1 = weighted_median_filter_auto(
-        tx1, ty1, levels1[top], cfg.refine,
-        num_iter=cfg.refine.wmf_coarse_iters, only_occlusion=True,
+    tx1, ty1 = coarse_occlusion_reconstruct(
+        tx1, ty1, levels1[top], cfg.refine
     )
-    tx1, ty1 = fill_holes(tx1, ty1, levels1[top])
-    if cfg.refine.wmf_coarse_full_iters > 0:
-        tx1, ty1 = weighted_median_filter_auto(
-            tx1, ty1, levels1[top], cfg.refine,
-            num_iter=cfg.refine.wmf_coarse_full_iters, only_occlusion=False,
-        )
     flow_full = nnf_to_flow(tx1, ty1)  # replicated coarse flow
 
     # ---- fine levels: sharded over (y, x) with ppermute halo exchange ----

@@ -55,7 +55,10 @@ from .ops.refine import (
     weighted_median_filter,
 )
 from .ops.pallas_smooth import flow_smoothing_auto
-from .ops.pallas_wmf import weighted_median_filter_auto
+from .ops.pallas_wmf import (
+    coarse_occlusion_reconstruct,
+    weighted_median_filter_auto,
+)
 from .ops.resize import bilinear_resize, gaussian_filter, gaussian_pyramid
 
 __all__ = ["prepare_pyramids", "compute_flow", "compute_flow_jit", "EPPMFlow"]
@@ -148,16 +151,9 @@ def compute_flow(
         tx1, ty1, c1, tx2, ty2, c2, cfg.lr_thresh
     )
     tx1, ty1, c1 = outlier_removal(tx1, ty1, c1, cfg.refine)
-    tx1, ty1 = weighted_median_filter_auto(
-        tx1, ty1, levels1[top], cfg.refine,
-        num_iter=cfg.refine.wmf_coarse_iters, only_occlusion=True,
+    tx1, ty1 = coarse_occlusion_reconstruct(
+        tx1, ty1, levels1[top], cfg.refine
     )
-    tx1, ty1 = fill_holes(tx1, ty1, levels1[top])
-    if cfg.refine.wmf_coarse_full_iters > 0:
-        tx1, ty1 = weighted_median_filter_auto(
-            tx1, ty1, levels1[top], cfg.refine,
-            num_iter=cfg.refine.wmf_coarse_full_iters, only_occlusion=False,
-        )
     flow = nnf_to_flow(tx1, ty1)
 
     # --- coarse-to-fine (.cpp:275-289) ---
@@ -253,16 +249,7 @@ def _coarse_refine_stage(m1, m2, img_top, cfg):
         tx1, ty1, c1, tx2, ty2, c2, cfg.lr_thresh
     )
     tx1, ty1, c1 = outlier_removal(tx1, ty1, c1, cfg.refine)
-    tx1, ty1 = weighted_median_filter_auto(
-        tx1, ty1, img_top, cfg.refine,
-        num_iter=cfg.refine.wmf_coarse_iters, only_occlusion=True,
-    )
-    tx1, ty1 = fill_holes(tx1, ty1, img_top)
-    if cfg.refine.wmf_coarse_full_iters > 0:
-        tx1, ty1 = weighted_median_filter_auto(
-            tx1, ty1, img_top, cfg.refine,
-            num_iter=cfg.refine.wmf_coarse_full_iters, only_occlusion=False,
-        )
+    tx1, ty1 = coarse_occlusion_reconstruct(tx1, ty1, img_top, cfg.refine)
     return nnf_to_flow(tx1, ty1)
 
 

@@ -266,6 +266,88 @@ def test_wmf_matches_oracle_full(rng):
     np.testing.assert_array_equal(np.asarray(got[1]), want[1])
 
 
+def test_wmf_polish_mode_invariants(rng):
+    """Frozen-valid polish mode (ops/pallas_wmf.py::wmf_polish_occlusions
+    composition): valid pixels pass through untouched, holes become
+    valid wherever the fill found a valid target, one iteration is the
+    fixed point (candidates/supports are frozen), and holes whose window
+    holds an originally-valid pixel take a polished value while
+    unreachable holes keep the fill exactly."""
+    from eppm_tpu.ops.refine import fill_holes
+
+    cfg = RefineConfig(wmf_radius=2, wmf_sigma_spatial=2.0,
+                       wmf_sigma_range=0.5)
+    h, w = 20, 26
+    ys, xs = np.mgrid[0:h, 0:w]
+    tx = np.clip(xs + rng.integers(-2, 3, (h, w)), 0, w - 1).astype(np.int32)
+    ty = np.clip(ys + rng.integers(-2, 3, (h, w)), 0, h - 1).astype(np.int32)
+    # a band of holes wider than the window diameter + scattered holes
+    hole = (xs >= 8) & (xs <= 17)
+    hole |= rng.random((h, w)) < 0.1
+    tx = np.where(hole, INVALID_LOCATION, tx)
+    ty = np.where(hole, INVALID_LOCATION, ty)
+    jt, jy, ji = jnp.asarray(tx), jnp.asarray(ty), jnp.asarray(
+        rng.random((h, w, 3)).astype(np.float32)
+    )
+    ftx, fty = fill_holes(jt, jy, ji)
+    o1 = weighted_median_filter(jt, jy, ji, cfg, num_iter=1,
+                                polish_init=(ftx, fty))
+    o3 = weighted_median_filter(jt, jy, ji, cfg, num_iter=3,
+                                polish_init=(ftx, fty))
+    otx, oty = np.asarray(o1[0]), np.asarray(o1[1])
+    valid0 = (tx >= 0) & (ty >= 0)
+    np.testing.assert_array_equal(otx[valid0], tx[valid0])
+    np.testing.assert_array_equal(oty[valid0], ty[valid0])
+    np.testing.assert_array_equal(np.asarray(o3[0]), otx)
+    np.testing.assert_array_equal(np.asarray(o3[1]), oty)
+    fv = (np.asarray(ftx) >= 0) & (np.asarray(fty) >= 0)
+    assert ((otx >= 0) & (oty >= 0))[~valid0 & fv].all()
+    # band centers beyond the window's reach from any valid pixel keep
+    # the fill; holes within reach of valid data get re-medianed
+    r = cfg.wmf_radius
+    pv = np.pad(valid0, r)
+    reach = np.zeros_like(valid0)
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            reach |= pv[r + dy:r + dy + h, r + dx:r + dx + w]
+    far = ~valid0 & ~reach
+    assert far.any()
+    np.testing.assert_array_equal(otx[far], np.asarray(ftx)[far])
+    np.testing.assert_array_equal(oty[far], np.asarray(fty)[far])
+
+
+def test_coarse_occlusion_reconstruct_paths(rng):
+    """Both orders of the shared coarse occlusion chain run and return
+    fully-usable fields; the fill-first path equals fill + 1-iter
+    frozen-valid polish composed by hand."""
+    import dataclasses
+
+    from eppm_tpu.ops.pallas_wmf import (
+        coarse_occlusion_reconstruct, wmf_polish_occlusions,
+    )
+
+    cfg = RefineConfig(wmf_radius=2, wmf_sigma_spatial=2.0,
+                       wmf_sigma_range=0.5)
+    h, w = 16, 22
+    ys, xs = np.mgrid[0:h, 0:w]
+    tx = np.clip(xs - 1, 0, w - 1).astype(np.int32)
+    ty = np.clip(ys + 1, 0, h - 1).astype(np.int32)
+    hole = rng.random((h, w)) < 0.25
+    tx = np.where(hole, INVALID_LOCATION, tx)
+    ty = np.where(hole, INVALID_LOCATION, ty)
+    jt, jy = jnp.asarray(tx), jnp.asarray(ty)
+    ji = jnp.asarray(rng.random((h, w, 3)).astype(np.float32))
+    a = coarse_occlusion_reconstruct(
+        jt, jy, ji, dataclasses.replace(cfg, wmf_fill_first=True)
+    )
+    b = wmf_polish_occlusions(jt, jy, ji, cfg, num_iter=1)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+    legacy = coarse_occlusion_reconstruct(jt, jy, ji, cfg)
+    for f in (a, legacy):
+        assert np.asarray(f[0]).shape == (h, w)
+
+
 # ---------- hole filling ----------
 
 def oracle_fill(tx, ty, img):

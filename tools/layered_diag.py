@@ -32,7 +32,9 @@ from eppm_tpu.cli import apply_overrides
 from eppm_tpu.ops.refine import (
     lr_check, outlier_removal, fill_holes, nnf_to_flow, flow_to_nnf,
 )
-from eppm_tpu.ops.pallas_wmf import weighted_median_filter_auto
+from eppm_tpu.ops.pallas_wmf import (
+    coarse_occlusion_reconstruct, weighted_median_filter_auto,
+)
 from eppm_tpu.ops.resize import bilinear_resize
 from eppm_tpu.config import UNKNOWN_FLOW_THRESH
 
@@ -144,22 +146,11 @@ def main():
     tx1, ty1, c1 = outlier_removal(tx1, ty1, c1, cfg.refine)
     epe_by_region(np.asarray(nnf_to_flow(tx1, ty1)), cgt, cmasks, cb,
                   "after outlier_removal")
-    tx1, ty1 = weighted_median_filter_auto(
-        tx1, ty1, levels1[top], cfg.refine,
-        num_iter=cfg.refine.wmf_coarse_iters, only_occlusion=True,
+    tx1, ty1 = coarse_occlusion_reconstruct(
+        tx1, ty1, levels1[top], cfg.refine
     )
     epe_by_region(np.asarray(nnf_to_flow(tx1, ty1)), cgt, cmasks, cb,
-                  "after occl WMF")
-    tx1, ty1 = fill_holes(tx1, ty1, levels1[top])
-    epe_by_region(np.asarray(nnf_to_flow(tx1, ty1)), cgt, cmasks, cb,
-                  "after fill_holes")
-    if cfg.refine.wmf_coarse_full_iters > 0:
-        tx1, ty1 = weighted_median_filter_auto(
-            tx1, ty1, levels1[top], cfg.refine,
-            num_iter=cfg.refine.wmf_coarse_full_iters, only_occlusion=False,
-        )
-        epe_by_region(np.asarray(nnf_to_flow(tx1, ty1)), cgt, cmasks, cb,
-                      "after full WMF")
+                  "after occl reconstruct")
     flow = nnf_to_flow(tx1, ty1)
 
     for lvl in range(top - 1, -1, -1):

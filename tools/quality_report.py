@@ -80,9 +80,21 @@ def cases(rng, h=240, w=320):
 
 
 def main():
+    import argparse
+
+    from eppm_tpu.cli import apply_overrides
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--set", action="append", default=[], metavar="K=V", dest="sets",
+        help="config overrides for an A/B run; when given, results are "
+        "printed but QUALITY.md is NOT rewritten (the committed dossier "
+        "stays a DEFAULT_CONFIG artifact)",
+    )
+    args = ap.parse_args()
     rng = np.random.default_rng(1234)
-    cfg_dense = DEFAULT_CONFIG
-    cfg_pm = dataclasses.replace(DEFAULT_CONFIG, match_engine="patchmatch")
+    cfg_dense = apply_overrides(DEFAULT_CONFIG, args.sets)
+    cfg_pm = dataclasses.replace(cfg_dense, match_engine="patchmatch")
     rows = []
     for name, gt in cases(rng):
         h, w = gt.shape[:2]
@@ -139,6 +151,10 @@ def main():
         "PatchMatch engine preserves the reference's search structure.  "
         "Generated by tools/quality_report.py.\n"
     )
+    if args.sets:
+        print("overrides active (" + ", ".join(args.sets)
+              + "): QUALITY.md not rewritten")
+        return
     with open("QUALITY.md", "w") as f:
         f.write(buf.getvalue())
     print("wrote QUALITY.md")

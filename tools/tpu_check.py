@@ -97,6 +97,41 @@ def main():
         # float tie-breaks differ at the 0.1% level (summation order)
         check(name, frac < 0.005, f"mismatch={frac:.4%}")
 
+    # --- WMF frozen-valid polish mode (fill-first reconstruction) ---
+    from eppm_tpu.ops.refine import fill_holes
+
+    for name, (hh, ww), fn in [
+        ("wmf_pallas polish", (120, 160),
+         lambda tx, ty, im, pi: weighted_median_filter_pallas(
+             tx, ty, im, cfg.refine, 1, True, polish_init=pi)),
+        ("wmf_tiled polish", (270, 480),
+         lambda tx, ty, im, pi: _wmf_tiled(
+             tx, ty, im, cfg.refine, 1, True, polish_init=pi)),
+    ]:
+        im = jnp.asarray(
+            np.clip(rng.normal(0.5, 0.2, (hh, ww, 3)), 0, 1), jnp.float32
+        )
+        ys, xs = np.mgrid[0:hh, 0:ww]
+        tx = (xs + rng.integers(-10, 11, (hh, ww))).astype(np.int32)
+        ty = (ys + rng.integers(-10, 11, (hh, ww))).astype(np.int32)
+        # band + scattered holes (the occlusion-reconstruction shape)
+        occ = (rng.random((hh, ww)) < 0.2) | (
+            (xs > ww // 3) & (xs < ww // 3 + 24)
+        )
+        tx = jnp.asarray(np.where(occ, INVALID_LOCATION, tx))
+        ty = jnp.asarray(np.where(occ, INVALID_LOCATION, ty))
+        pi = fill_holes(tx, ty, im)
+        a = fn(tx, ty, im, pi)
+        b = weighted_median_filter(
+            tx, ty, im, cfg.refine, num_iter=1, only_occlusion=True,
+            polish_init=pi,
+        )
+        mism = (np.asarray(a[0]) != np.asarray(b[0])) | (
+            np.asarray(a[1]) != np.asarray(b[1])
+        )
+        frac = float(mism.mean())
+        check(name, frac < 0.005, f"mismatch={frac:.4%}")
+
     # --- smoothing kernel ---
     fl = rng.normal(0, 5, (h, w, 2)).astype(np.float32)
     fl[rng.random((h, w)) < 0.15] = 1e10
