@@ -47,8 +47,6 @@ PRESETS = {
         # pass 2) halves the dominant L0 pass-1 kernel.
         "cost.patch_stride=4",
         "cost.patch_radius=8",
-        # occlusion WMF at its measured 240x320 fixed point (2) + 1.
-        "refine.wmf_coarse_iters=3",
         # lighter final smoothing: radius 6 instead of 10.
         "refine.blf_sigma_spatial=3.0",
     ],

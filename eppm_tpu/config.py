@@ -319,18 +319,45 @@ class RefineConfig:
     # clean Jacobi port needs ~band/radius passes and compounds errors
     # inward (layered stress case: 6.7 px mean band error after 5
     # Jacobi iterations vs ~bg-level error with fill-first — see
-    # EVAL.md / PERF.md round-4 notes).
-    wmf_fill_first: bool = False
+    # EVAL.md / PERF.md round-4 notes).  Default True since round 4
+    # (layered 3.157 -> 2.300 final EPE, QUALITY sweep neutral); False
+    # restores the reference-faithful order.
+    wmf_fill_first: bool = True
     # Dilation schedule of the fill-first polish cascade (coarse to
     # fine; each entry is one frozen-valid WMF pass with window offsets
-    # scaled by the entry).  Measured on the layered stress case
-    # (tools/layered_diag.py): plain (1,) beats (4,1) and (8,2,1) —
-    # at the coarse level textures homogenize toward their means, so a
-    # dilated color-weighted median mixes the two layers' flows where
-    # the scanline fill's nearest-valid pick stays on one layer.  The
-    # dilated passes remain available for content with distinct coarse
-    # colors.
-    wmf_polish_dilations: Tuple[int, ...] = (1,)
+    # scaled by the entry).  UNGATED dilated medians measured WORSE on
+    # the layered stress case ((4,1) 2.91 vs (1,) 2.59 at the time):
+    # coarse textures homogenize toward their means and a wide color-
+    # weighted median mixes the two layers' flows.  With the agreement
+    # gate below the dilated passes only denoise (mixing jumps are
+    # rejected), so a deep schedule is safe and fixes the scanline
+    # fill's single-source jitter across wide border bands (large-
+    # translation QUALITY cases): (16, 4, 1) reaches ~64 px.
+    wmf_polish_dilations: Tuple[int, ...] = (16, 4, 1)
+    # Agreement gate of the dilated (>1) polish passes: a hole adopts a
+    # dilated median only if it agrees with its current fill hypothesis
+    # within this many pixels per component (0 = ungated).  Border
+    # bands at large translations: the median agrees within +-1 and
+    # denoises; two-layer occlusions with homogenized coarse colors:
+    # the mixed-layer median jumps far from the one-sided fill and is
+    # rejected.
+    wmf_polish_accept_thresh: float = 3.0
+    # Patch radius of the fill-first hole fill's color test: 0 = the
+    # reference's single-pixel max-channel difference; r > 0 = mean
+    # (2r+1)^2 patch SAD between the hole's and the candidate source's
+    # neighborhoods (texture comparison — decides reliably where
+    # single-pixel color is one noisy sample, e.g. textures that
+    # homogenize at the coarse level).  Only the fill-first path uses
+    # it; the legacy WMF-then-fill path stays reference-faithful.
+    fill_patch_radius: int = 2
+    # Majority-correction rounds after the fill-first reconstruction:
+    # iterated 3x3 component medians over ALL values, applied to the
+    # was-invalid set only.  Wrong scanline-fill picks are streak-
+    # correlated; a few median rounds let the correct majority
+    # overwrite wrong streaks.  0 disables.  Measured on layered
+    # (tools/layered_diag.py): 3 rounds 2.330, 6 rounds 2.300, 12
+    # rounds 2.288 final EPE — 6 is the knee.
+    fill_median_rounds: int = 6
     # Full-image WMF passes after hole filling at the coarse level
     # (0 disables).  No reference counterpart at the coarse level, but
     # the reference *intended* a full-image WMF at fine levels (the dead

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..config import FLT_MAX, RefineConfig
+from ..config import FLT_MAX, INVALID_LOCATION, RefineConfig
 from ._util import (
     on_tpu as _on_tpu,
     round_up as _round_up,
@@ -614,6 +614,8 @@ def weighted_median_filter_auto(
 def wmf_polish_occlusions(
     tx, ty, img, cfg: RefineConfig = RefineConfig(), num_iter: int = 1,
     dilations: Tuple[int, ...] = (1,),
+    fill_patch_radius: int = 0,
+    accept_thresh: float = 0.0,
 ):
     """Occlusion reconstruction as fill-then-polish (the TPU-native
     answer to the reference's 20 sequential in-place occlusion-WMF
@@ -641,15 +643,55 @@ def wmf_polish_occlusions(
     dilation-1 pass re-medians near-edge holes at full precision — holes
     it cannot reach keep the previous pass's value (each pass's output
     is the next pass's ``polish_init``).
+
+    ``accept_thresh`` > 0 gates every dilated (>1) pass: a hole adopts
+    the dilated median only when it agrees with its current (fill)
+    hypothesis within the threshold per component.  This resolves the
+    measured content conflict: on single-layer bands (image borders at
+    large translations) the dilated median denoises the scanline fill's
+    single-source jitter and agrees within ±1, while on two-layer
+    occlusions whose coarse colors homogenize the wide median mixes
+    layers — a large jump vs the one-sided fill — and is rejected.
     """
     from .refine import fill_holes
 
-    cur = fill_holes(tx, ty, img)
+    ftx, fty = fill_holes(tx, ty, img, patch_radius=fill_patch_radius)
+    # A diagonal translation invalidates a full-height column band AND a
+    # full-width row band; at their intersection all 4 scan directions
+    # fail and the fill keeps the INVALID sentinel.  A second fill pass
+    # over the first pass's output reaches such corners (their rows/
+    # columns now hold pass-1 values).  Without this, sentinel VALUES
+    # smear through the median stages into plausible-looking garbage
+    # flows (the round-4 QUALITY blowup).
+    h, w = ftx.shape
+    sent = jnp.int32(INVALID_LOCATION // 2)
+    ftx2, fty2 = fill_holes(ftx, fty, img, patch_radius=fill_patch_radius)
+    ftx = jnp.where(ftx > sent, ftx, ftx2)
+    fty = jnp.where(fty > sent, fty, fty2)
+    # last resort (whole image occluded): zero offset, the reference's
+    # own unreachable-hole rule (INVALID+pos, refine_kernel.cu:368-370)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    ftx = jnp.where(ftx > sent, ftx, xs)
+    fty = jnp.where(fty > sent, fty, ys)
+    hole = (tx < 0) | (ty < 0)
+    cur = (ftx, fty)
     for d in dilations:
-        cur = weighted_median_filter_auto(
+        nxt = weighted_median_filter_auto(
             tx, ty, img, cfg, num_iter, only_occlusion=True,
             polish_init=cur, dilation=d,
         )
+        if d > 1 and accept_thresh > 0:
+            t = jnp.int32(accept_thresh)
+            agree = (jnp.abs(nxt[0] - cur[0]) <= t) & (
+                jnp.abs(nxt[1] - cur[1]) <= t
+            )
+            keep = hole & ~agree
+            nxt = (
+                jnp.where(keep, cur[0], nxt[0]),
+                jnp.where(keep, cur[1], nxt[1]),
+            )
+        cur = nxt
     return cur
 
 
@@ -664,13 +706,33 @@ def coarse_occlusion_reconstruct(tx, ty, img, rcfg: RefineConfig):
     counts come from ``wmf_coarse_iters`` either way.
     """
     if rcfg.wmf_fill_first:
+        hole = (tx < 0) | (ty < 0)
         # one iteration per pass IS the fixed point: polish candidates/
         # supports are the frozen originally-valid data, so iteration 2
         # re-derives identical medians (verified iter5 == iter2 == iter1).
         tx, ty = wmf_polish_occlusions(
             tx, ty, img, rcfg, num_iter=1,
             dilations=rcfg.wmf_polish_dilations,
+            fill_patch_radius=rcfg.fill_patch_radius,
+            accept_thresh=rcfg.wmf_polish_accept_thresh,
         )
+        if rcfg.fill_median_rounds > 0:
+            # majority correction over the reconstructed holes: wrong
+            # scanline-fill picks are streak-correlated (~20% of band
+            # pixels on layered content); iterated 3x3 component medians
+            # over ALL values, applied to holes only, let the correct
+            # majority overwrite wrong streaks.
+            from .dense import median3
+
+            ys2 = jax.lax.broadcasted_iota(jnp.int32, tx.shape, 0)
+            xs2 = jax.lax.broadcasted_iota(jnp.int32, tx.shape, 1)
+            ox = (tx - xs2).astype(jnp.float32)
+            oy = (ty - ys2).astype(jnp.float32)
+            for _ in range(rcfg.fill_median_rounds):
+                ox = jnp.where(hole, median3(ox), ox)
+                oy = jnp.where(hole, median3(oy), oy)
+            tx = jnp.where(hole, ox.astype(jnp.int32) + xs2, tx)
+            ty = jnp.where(hole, oy.astype(jnp.int32) + ys2, ty)
     else:
         tx, ty = weighted_median_filter_auto(
             tx, ty, img, rcfg, num_iter=rcfg.wmf_coarse_iters,

@@ -336,9 +336,22 @@ def weighted_median_filter(
     return tx, ty
 
 
-def fill_holes(tx, ty, img):
+def fill_holes(tx, ty, img, patch_radius: int = 0):
     """Fill remaining occlusions from the color-nearest of the first valid
     displacement in each of the 4 scan directions (refine_kernel.cu:297-371).
+
+    ``patch_radius`` > 0 replaces the reference's single-pixel color
+    test with a (2r+1)^2 patch SAD between the hole's neighborhood and
+    the candidate source pixel's neighborhood.  Rationale: the
+    single-pixel max-channel difference is one noisy sample — on content
+    whose textures homogenize at the coarse level (same means, different
+    realizations) it picks the wrong side of an occlusion band ~20% of
+    the time; a patch distance averages (2r+1)^2 samples, comparing
+    texture rather than one pixel's color.  A measured negative result
+    for the alternative cue (backward-LR-validity of the candidate's
+    target, 'occlusion consistency') is recorded in the round-4 notes:
+    it systematically prefers the WRONG side when the occluded band's
+    true flow points into the occluder (band EPE 4.6 -> 6.5).
 
     The reference's unbounded per-thread scans become cumulative max/min
     index propagations (O(H+W) scan depth -> lax.cummax), a TPU-native
@@ -378,21 +391,42 @@ def fill_holes(tx, ty, img):
             acc = jnp.where(acc >= 0, size - 1 - acc, -1)
         return acc
 
+    pr = patch_radius
+    if pr > 0:
+        pimg = jnp.pad(img, ((pr, pr), (pr, pr), (0, 0)), mode="edge")
+
     dirs = []
     for axis, reverse in ((1, False), (1, True), (0, False), (0, True)):
         nidx = nearest(axis, reverse)
         found = nidx >= 0
         nidxc = jnp.clip(nidx, 0, (w if axis == 1 else h) - 1)
-        if axis == 1:
-            gox = jnp.take_along_axis(ox, nidxc, axis=1)
-            goy = jnp.take_along_axis(oy, nidxc, axis=1)
-            gpix = jnp.take_along_axis(img, nidxc[..., None], axis=1)
+        gox = jnp.take_along_axis(ox, nidxc, axis=axis)
+        goy = jnp.take_along_axis(oy, nidxc, axis=axis)
+        if pr == 0:
+            gpix = jnp.take_along_axis(img, nidxc[..., None], axis=axis)
+            d = jnp.abs(gpix - img)
+            pixdiff = jnp.maximum(
+                jnp.maximum(d[..., 0], d[..., 1]), d[..., 2]
+            )
         else:
-            gox = jnp.take_along_axis(ox, nidxc, axis=0)
-            goy = jnp.take_along_axis(oy, nidxc, axis=0)
-            gpix = jnp.take_along_axis(img, nidxc[..., None], axis=0)
-        d = jnp.abs(gpix - img)
-        pixdiff = jnp.maximum(jnp.maximum(d[..., 0], d[..., 1]), d[..., 2])
+            # patch SAD: compare the hole's neighborhood against the
+            # source pixel's neighborhood, offset by offset (both read
+            # from the same o-shifted image, so each term is one
+            # take_along_axis gather)
+            acc = jnp.zeros((h, w), jnp.float32)
+            for dy in range(-pr, pr + 1):
+                for dx in range(-pr, pr + 1):
+                    S = jax.lax.dynamic_slice(
+                        pimg, (pr + dy, pr + dx, 0), (h, w, 3)
+                    )
+                    g = jnp.take_along_axis(
+                        S, nidxc[..., None], axis=axis
+                    )
+                    d = jnp.abs(g - S)
+                    acc = acc + jnp.maximum(
+                        jnp.maximum(d[..., 0], d[..., 1]), d[..., 2]
+                    )
+            pixdiff = acc / float((2 * pr + 1) ** 2)
         pixdiff = jnp.where(found, pixdiff, FLT_MAX)
         dirs.append((pixdiff, gox, goy, found))
 

@@ -51,12 +51,10 @@ from ..ops.match import match_coarse_bidi
 from ..ops.patchmatch import patchmatch
 from ..ops.refine import (
     blf_refine_flow,
-    fill_holes,
     flow_smoothing,
     lr_check,
     nnf_to_flow,
     outlier_removal,
-    weighted_median_filter,
 )
 from ..ops.pallas_smooth import flow_smoothing_auto
 from ..ops.pallas_wmf import (

@@ -535,12 +535,12 @@ def test_cli_preset_expansion():
     cfg = apply_overrides(DEFAULT_CONFIG, ["preset=fast"])
     assert cfg.dense_cand_shape == "plus"
     assert cfg.cost.patch_stride == 4
-    assert cfg.refine.wmf_coarse_iters == 3
+    assert cfg.refine.blf_sigma_spatial == 3.0
     # explicit override after the preset wins
     cfg2 = apply_overrides(
-        DEFAULT_CONFIG, ["preset=fast", "refine.wmf_coarse_iters=5"]
+        DEFAULT_CONFIG, ["preset=fast", "refine.blf_sigma_spatial=5.0"]
     )
-    assert cfg2.refine.wmf_coarse_iters == 5
+    assert cfg2.refine.blf_sigma_spatial == 5.0
     import pytest as _pytest
 
     with _pytest.raises(SystemExit):

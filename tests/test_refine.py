@@ -316,6 +316,38 @@ def test_wmf_polish_mode_invariants(rng):
     np.testing.assert_array_equal(oty[far], np.asarray(fty)[far])
 
 
+def test_polish_unreachable_fill_bounded(rng):
+    """A hole whose entire row AND column are invalid defeats the
+    4-direction scanline fill; the polish path must bound such holes to
+    zero offset rather than let the INVALID sentinel smear through the
+    median stages into plausible-looking garbage flows (the round-4
+    QUALITY blowup: 240x320 translation cases at 130-600 EPE)."""
+    import dataclasses
+
+    from eppm_tpu.ops.pallas_wmf import coarse_occlusion_reconstruct
+
+    cfg = RefineConfig(wmf_radius=2, wmf_sigma_spatial=2.0,
+                       wmf_sigma_range=0.5)
+    h, w = 24, 30
+    ys, xs = np.mgrid[0:h, 0:w]
+    tx = xs.astype(np.int32) + 2
+    ty = ys.astype(np.int32)
+    # a cross of invalid rows/columns: its intersection is unreachable
+    hole = (ys < 6) | (xs < 8)
+    tx = np.where(hole, INVALID_LOCATION, tx)
+    ty = np.where(hole, INVALID_LOCATION, ty)
+    ji = jnp.asarray(rng.random((h, w, 3)).astype(np.float32))
+    out = coarse_occlusion_reconstruct(
+        jnp.asarray(tx), jnp.asarray(ty), ji,
+        dataclasses.replace(cfg, wmf_fill_first=True),
+    )
+    otx, oty = np.asarray(out[0]), np.asarray(out[1])
+    # every output target is a bounded image-scale coordinate: no raw
+    # or median-smeared sentinels (e.g. -10000, -3000) anywhere
+    assert otx.min() > -2 * max(h, w) and oty.min() > -2 * max(h, w)
+    assert otx.max() < 2 * max(h, w) and oty.max() < 2 * max(h, w)
+
+
 def test_coarse_occlusion_reconstruct_paths(rng):
     """Both orders of the shared coarse occlusion chain run and return
     fully-usable fields; the fill-first path equals fill + 1-iter
@@ -337,15 +369,27 @@ def test_coarse_occlusion_reconstruct_paths(rng):
     ty = np.where(hole, INVALID_LOCATION, ty)
     jt, jy = jnp.asarray(tx), jnp.asarray(ty)
     ji = jnp.asarray(rng.random((h, w, 3)).astype(np.float32))
-    a = coarse_occlusion_reconstruct(
-        jt, jy, ji, dataclasses.replace(cfg, wmf_fill_first=True)
+    # with the extra reconstruction stages disabled, fill-first reduces
+    # to the bare fill + 1-iter frozen-valid polish composed by hand
+    bare = dataclasses.replace(
+        cfg, wmf_fill_first=True, fill_patch_radius=0,
+        fill_median_rounds=0,
     )
+    a = coarse_occlusion_reconstruct(jt, jy, ji, bare)
     b = wmf_polish_occlusions(jt, jy, ji, cfg, num_iter=1)
     np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
     np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+    # the full default fill-first chain (patch-SAD fill + median
+    # correction) runs and returns fully-usable fields
+    full = coarse_occlusion_reconstruct(
+        jt, jy, ji, dataclasses.replace(cfg, wmf_fill_first=True)
+    )
     legacy = coarse_occlusion_reconstruct(jt, jy, ji, cfg)
-    for f in (a, legacy):
+    for f in (a, full, legacy):
         assert np.asarray(f[0]).shape == (h, w)
+    valid0 = (tx >= 0) & (ty >= 0)
+    np.testing.assert_array_equal(np.asarray(full[0])[valid0], tx[valid0])
+    np.testing.assert_array_equal(np.asarray(full[1])[valid0], ty[valid0])
 
 
 # ---------- hole filling ----------
