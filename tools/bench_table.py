@@ -44,21 +44,25 @@ def synthetic_pair(h, w, seed=0):
     return jnp.asarray(img1), jnp.asarray(img2)
 
 
-def time_shape(name, img1, img2, n=3):
+def time_shape(name, img1, img2, n=3, cfg=None):
     import jax
     import jax.numpy as jnp
 
+    from eppm_tpu.config import DEFAULT_CONFIG
     from eppm_tpu.pipeline import compute_flow_jit
 
+    if cfg is None:
+        cfg = DEFAULT_CONFIG
+
     # compile + warm
-    f = compute_flow_jit(img1, img2, jax.random.PRNGKey(0))
+    f = compute_flow_jit(img1, img2, jax.random.PRNGKey(0), cfg)
     np.asarray(f)
 
     # end-to-end: includes full flow readback
     e2e = []
     for i in range(n):
         t0 = time.perf_counter()
-        f = compute_flow_jit(img1, img2, jax.random.PRNGKey(i))
+        f = compute_flow_jit(img1, img2, jax.random.PRNGKey(i), cfg)
         np.asarray(f)
         e2e.append(time.perf_counter() - t0)
 
@@ -69,7 +73,7 @@ def time_shape(name, img1, img2, n=3):
     dev = []
     for i in range(n):
         t0 = time.perf_counter()
-        f = compute_flow_jit(img1, img2, jax.random.PRNGKey(100 + i))
+        f = compute_flow_jit(img1, img2, jax.random.PRNGKey(100 + i), cfg)
         np.asarray(f[:1, :1])
         dev.append(time.perf_counter() - t0)
 
@@ -87,22 +91,40 @@ def time_shape(name, img1, img2, n=3):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--out", default=os.path.join(ROOT, "BENCH_TABLE.json"))
+    p.add_argument(
+        "--set", action="append", default=[], metavar="K=V", dest="sets",
+        help="config overrides (incl. preset=NAME); required to also "
+        "pass a non-default --out so the default-config table is never "
+        "overwritten by a variant run",
+    )
     args = p.parse_args()
+    if args.sets and args.out == os.path.join(ROOT, "BENCH_TABLE.json"):
+        raise SystemExit("--set requires a non-default --out")
     import jax
     import jax.numpy as jnp
 
+    from eppm_tpu.cli import apply_overrides
+    from eppm_tpu.config import DEFAULT_CONFIG
     from eppm_tpu.io import read_ppm
+
+    cfg = apply_overrides(DEFAULT_CONFIG, args.sets)
 
     table = {}
     img1 = jnp.asarray(read_ppm("/root/reference/frame10.ppm"))
     img2 = jnp.asarray(read_ppm("/root/reference/frame11.ppm"))
-    table["grove_640x480"] = time_shape("grove_640x480", img1, img2)
+    table["grove_640x480"] = time_shape("grove_640x480", img1, img2, cfg=cfg)
     table["kitti_1242x375"] = time_shape(
-        "kitti_1242x375", *synthetic_pair(375, 1242)
+        "kitti_1242x375", *synthetic_pair(375, 1242), cfg=cfg
     )
-    table["hd_1080p"] = time_shape("hd_1080p", *synthetic_pair(1080, 1920))
-    table["uhd_4k"] = time_shape("uhd_4k", *synthetic_pair(2160, 3840), n=2)
+    table["hd_1080p"] = time_shape(
+        "hd_1080p", *synthetic_pair(1080, 1920), cfg=cfg
+    )
+    table["uhd_4k"] = time_shape(
+        "uhd_4k", *synthetic_pair(2160, 3840), n=2, cfg=cfg
+    )
     table["device"] = str(jax.devices()[0])
+    if args.sets:
+        table["overrides"] = list(args.sets)
     with open(args.out, "w") as f:
         json.dump(table, f, indent=2)
     print("wrote", args.out)
