@@ -325,15 +325,16 @@ class RefineConfig:
     wmf_fill_first: bool = True
     # Dilation schedule of the fill-first polish cascade (coarse to
     # fine; each entry is one frozen-valid WMF pass with window offsets
-    # scaled by the entry).  UNGATED dilated medians measured WORSE on
-    # the layered stress case ((4,1) 2.91 vs (1,) 2.59 at the time):
-    # coarse textures homogenize toward their means and a wide color-
-    # weighted median mixes the two layers' flows.  With the agreement
-    # gate below the dilated passes only denoise (mixing jumps are
-    # rejected), so a deep schedule is safe and fixes the scanline
-    # fill's single-source jitter across wide border bands (large-
-    # translation QUALITY cases): (16, 4, 1) reaches ~64 px.
-    wmf_polish_dilations: Tuple[int, ...] = (16, 4, 1)
+    # scaled by the entry).  Default (1,): with the two-pass corner
+    # fill, deeper schedules measured NO quality win anywhere ((16,4,1)
+    # vs (1,): zoom_rot 0.637 vs 0.613, layered 2.295 vs 2.300, every
+    # QUALITY case identical) while costing two extra kernel launches +
+    # bilateral-weight precomputes per frame (~15 ms of the 1080p
+    # budget).  Ungated dilated medians are additionally WRONG on
+    # two-layer content whose coarse textures homogenize ((4,1) 2.91 vs
+    # 2.59 ungated) — the agreement gate below keeps any dilated entry
+    # safe if a user config enables one.
+    wmf_polish_dilations: Tuple[int, ...] = (1,)
     # Agreement gate of the dilated (>1) polish passes: a hole adopts a
     # dilated median only if it agrees with its current fill hypothesis
     # within this many pixels per component (0 = ungated).  Border
