@@ -350,7 +350,10 @@ class RefineConfig:
     # single-pixel color is one noisy sample, e.g. textures that
     # homogenize at the coarse level).  Only the fill-first path uses
     # it; the legacy WMF-then-fill path stays reference-faithful.
-    fill_patch_radius: int = 2
+    # Default 1: radius 2 measured only noise-level better on layered
+    # (2.502 vs 2.517) at ~3x the gather count — the fill's per-tap
+    # gathers are a fixed coarse-level cost on every frame.
+    fill_patch_radius: int = 1
     # Majority-correction rounds after the fill-first reconstruction:
     # iterated 3x3 component medians over ALL values, applied to the
     # was-invalid set only.  Wrong scanline-fill picks are streak-

@@ -665,7 +665,9 @@ def wmf_polish_occlusions(
     # flows (the round-4 QUALITY blowup).
     h, w = ftx.shape
     sent = jnp.int32(INVALID_LOCATION // 2)
-    ftx2, fty2 = fill_holes(ftx, fty, img, patch_radius=fill_patch_radius)
+    # single-pixel color test here: pass 2 only serves the rare corner
+    # holes, and the patch-SAD gathers are the fill's dominant cost
+    ftx2, fty2 = fill_holes(ftx, fty, img)
     ftx = jnp.where(ftx > sent, ftx, ftx2)
     fty = jnp.where(fty > sent, fty, fty2)
     # last resort (whole image occluded): zero offset, the reference's
