@@ -326,10 +326,12 @@ def rescore_multi(
     # kernel inside the 1080p match module faulted the TPU worker, so it
     # was held to <=50k px.  With the round-2 49-tap tables the full
     # 1080p match stage with this kernel passes in isolation (probed
-    # 2026-08-17, tools/fault_repro.py history) — the gate now admits
-    # 1080p-coarse (130k px); 4K-coarse (518k) keeps the proven
-    # single-warp path until probed.
-    if on_tpu() and h * w <= 200_000:
+    # 2026-08-17), and the round-4 probe run of the 518k-px K=5 case
+    # PASSED on chip (tools/fault_repro.py, 2026-08-20 — as did the
+    # round-3 full-monolithic-1080p repro itself, suggesting a runtime-
+    # stack fix upstream), so the gate now admits 4K-coarse-at-fixed-
+    # depth sizes with margin.
+    if on_tpu() and h * w <= 600_000:
         return residual_costs_multiwarp_pallas(pack1, warped, cost_cfg)
     eval_one = lambda wp: residual_costs_auto(
         pack1, wp, [(0, 0)], cost_cfg, False, tap_chunk
