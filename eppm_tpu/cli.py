@@ -59,7 +59,8 @@ def apply_overrides(cfg: EPPMConfig, overrides: List[str]) -> EPPMConfig:
     ``preset=NAME`` expands to the named override list (PRESETS) in
     place, so later explicit overrides win over the preset's choices.
     """
-    expanded: List[str] = []
+    preset_part: List[str] = []
+    user_part: List[str] = []
     for ov in overrides:
         if ov.startswith("preset="):
             name = ov.split("=", 1)[1]
@@ -67,10 +68,13 @@ def apply_overrides(cfg: EPPMConfig, overrides: List[str]) -> EPPMConfig:
                 raise SystemExit(
                     f"unknown preset {name!r} (have: {sorted(PRESETS)})"
                 )
-            expanded.extend(PRESETS[name])
+            preset_part.extend(PRESETS[name])
         else:
-            expanded.append(ov)
-    overrides = expanded
+            user_part.append(ov)
+    # presets always expand BEFORE user overrides, regardless of where
+    # they appear on the command line — an explicit --set must never be
+    # silently clobbered by a later preset=.
+    overrides = preset_part + user_part
     for ov in overrides:
         if "=" not in ov:
             raise SystemExit(f"--set expects key=value, got {ov!r}")

@@ -313,8 +313,9 @@ class RefineConfig:
     # reference-faithful order (occlusion WMF then hole fill); True =
     # fill-then-polish (ops/pallas_wmf.py::wmf_polish_occlusions):
     # holes are initialized by the 4-direction color-nearest fill, then
-    # wmf_coarse_iters frozen-valid WMF iterations re-median each hole
-    # from originally-valid data.  Rationale: the reference's in-place
+    # ONE frozen-valid WMF iteration per dilation pass re-medians each
+    # hole from originally-valid data (one iteration is that pass's
+    # fixed point, so wmf_coarse_iters does not apply on this path).  Rationale: the reference's in-place
     # sequential WMF diffuses across an occluded band in few passes; a
     # clean Jacobi port needs ~band/radius passes and compounds errors
     # inward (layered stress case: 6.7 px mean band error after 5
@@ -354,6 +355,16 @@ class RefineConfig:
     # (2.502 vs 2.517) at ~3x the gather count — the fill's per-tap
     # gathers are a fixed coarse-level cost on every frame.
     fill_patch_radius: int = 1
+    # First-order (linear-extrapolating) fill baseline, in pixels.
+    # 0 = the reference's constant fill (refine_kernel.cu:297-371).
+    # b > 0: the adopted value extrapolates the chosen side's per-
+    # component slope (estimated over b and 2b px behind the nearest
+    # valid pixel, accepted only where the two estimates agree — see
+    # ops/refine.py::fill_holes).  Constant-flow regions measure slope
+    # ~0 twice and behave exactly like the reference; smoothly-varying
+    # fields (zoom/rotation border wedges) are extrapolated instead of
+    # flattened.
+    fill_linear_baseline: int = 0
     # Majority-correction rounds after the fill-first reconstruction:
     # iterated 3x3 component medians over ALL values, applied to the
     # was-invalid set only.  Wrong scanline-fill picks are streak-
@@ -554,3 +565,17 @@ class EPPMConfig:
 
 
 DEFAULT_CONFIG = EPPMConfig()
+
+
+def config_fingerprint(cfg: EPPMConfig = DEFAULT_CONFIG) -> str:
+    """Short stable hash of a full config tree.
+
+    The eval dossier generator (tools/eval_report.py) stamps this into
+    EVAL.json; tests/test_extras.py fails when the stamp no longer
+    matches DEFAULT_CONFIG — the mechanical form of the dossier's GATE
+    rule ("regenerate in any commit that changes a config default").
+    Dataclass repr is deterministic and covers every field recursively.
+    """
+    import hashlib
+
+    return hashlib.sha256(repr(cfg).encode()).hexdigest()[:12]

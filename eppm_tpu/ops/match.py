@@ -329,9 +329,10 @@ def rescore_multi(
     # 2026-08-17), and the round-4 probe run of the 518k-px K=5 case
     # PASSED on chip (tools/fault_repro.py, 2026-08-20 — as did the
     # round-3 full-monolithic-1080p repro itself, suggesting a runtime-
-    # stack fix upstream), so the gate now admits 4K-coarse-at-fixed-
-    # depth sizes with margin.
-    if on_tpu() and h * w <= 600_000:
+    # stack fix upstream), so the gate admits exactly the probed
+    # 4K-at-fixed-depth coarse size (540x960 = 518,400 px); larger
+    # shapes take the lax.map fallback until a probe covers them.
+    if on_tpu() and h * w <= 518_400:
         return residual_costs_multiwarp_pallas(pack1, warped, cost_cfg)
     eval_one = lambda wp: residual_costs_auto(
         pack1, wp, [(0, 0)], cost_cfg, False, tap_chunk

@@ -616,6 +616,7 @@ def wmf_polish_occlusions(
     dilations: Tuple[int, ...] = (1,),
     fill_patch_radius: int = 0,
     accept_thresh: float = 0.0,
+    fill_linear_baseline: int = 0,
 ):
     """Occlusion reconstruction as fill-then-polish (the TPU-native
     answer to the reference's 20 sequential in-place occlusion-WMF
@@ -655,7 +656,10 @@ def wmf_polish_occlusions(
     """
     from .refine import fill_holes
 
-    ftx, fty = fill_holes(tx, ty, img, patch_radius=fill_patch_radius)
+    ftx, fty = fill_holes(
+        tx, ty, img, patch_radius=fill_patch_radius,
+        linear_baseline=fill_linear_baseline,
+    )
     # A diagonal translation invalidates a full-height column band AND a
     # full-width row band; at their intersection all 4 scan directions
     # fail and the fill keeps the INVALID sentinel.  A second fill pass
@@ -684,9 +688,11 @@ def wmf_polish_occlusions(
             polish_init=cur, dilation=d,
         )
         if d > 1 and accept_thresh > 0:
-            t = jnp.int32(accept_thresh)
-            agree = (jnp.abs(nxt[0] - cur[0]) <= t) & (
-                jnp.abs(nxt[1] - cur[1]) <= t
+            # float comparison: int32-truncating the threshold would turn
+            # e.g. a configured 0.5 into an exact-equality gate (0).
+            t = jnp.float32(accept_thresh)
+            agree = (jnp.abs(nxt[0] - cur[0]).astype(jnp.float32) <= t) & (
+                jnp.abs(nxt[1] - cur[1]).astype(jnp.float32) <= t
             )
             keep = hole & ~agree
             nxt = (
@@ -704,8 +710,11 @@ def coarse_occlusion_reconstruct(tx, ty, img, rcfg: RefineConfig):
 
     ``rcfg.wmf_fill_first`` selects fill-then-polish
     (``wmf_polish_occlusions``) over the faithful WMF-then-fill Jacobi
-    order (reference schedule, compute_flow .cpp:236-243); iteration
-    counts come from ``wmf_coarse_iters`` either way.
+    order (reference schedule, compute_flow .cpp:236-243).
+    ``wmf_coarse_iters`` drives only the Jacobi path: the fill-first
+    polish runs exactly ONE frozen-valid iteration per dilation pass by
+    construction — one iteration is that pass's fixed point (see the
+    comment below), so an iteration knob would be a no-op there.
     """
     if rcfg.wmf_fill_first:
         hole = (tx < 0) | (ty < 0)
@@ -717,6 +726,7 @@ def coarse_occlusion_reconstruct(tx, ty, img, rcfg: RefineConfig):
             dilations=rcfg.wmf_polish_dilations,
             fill_patch_radius=rcfg.fill_patch_radius,
             accept_thresh=rcfg.wmf_polish_accept_thresh,
+            fill_linear_baseline=rcfg.fill_linear_baseline,
         )
         if rcfg.fill_median_rounds > 0:
             # majority correction over the reconstructed holes: wrong

@@ -548,3 +548,46 @@ def test_cli_preset_expansion():
     # every preset override must parse against the real config tree
     for name, ovs in PRESETS.items():
         apply_overrides(DEFAULT_CONFIG, [f"preset={name}"])
+
+
+def test_preset_before_any_user_override():
+    """A preset appearing AFTER an explicit --set must not clobber it
+    (presets are hoisted to the front of the override list)."""
+    from eppm_tpu.cli import apply_overrides
+    from eppm_tpu.config import DEFAULT_CONFIG
+
+    cfg = apply_overrides(
+        DEFAULT_CONFIG, ["refine.blf_sigma_spatial=5.0", "preset=fast"]
+    )
+    assert cfg.refine.blf_sigma_spatial == 5.0
+
+
+def test_eval_dossier_fingerprint_current():
+    """Mechanical dossier gate: EVAL.json must carry the fingerprint of
+    the CURRENT DEFAULT_CONFIG.  If this fails, a config default changed
+    without regenerating the eval dossier — rerun
+    `python tools/eval_report.py` in the same commit (EVAL.md's GATE)."""
+    import json
+    import os
+
+    from eppm_tpu.config import config_fingerprint
+
+    path = os.path.join(os.path.dirname(__file__), "..", "EVAL.json")
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("no EVAL.json in tree")
+    with open(path) as f:
+        stamp = json.load(f).get("config_fingerprint")
+    if stamp is None:
+        import pytest
+
+        pytest.skip(
+            "pre-gate dossier format (no fingerprint); the gate arms on "
+            "the first regeneration"
+        )
+    assert stamp == config_fingerprint(), (
+        "config defaults changed since EVAL.json was generated — "
+        "regenerate the dossier (python tools/eval_report.py) in this "
+        "commit"
+    )

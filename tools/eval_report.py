@@ -26,6 +26,9 @@ DATASETS = [
     ("sintel_stress", "frame10.ppm,frame11.ppm,flow10.flo"),
     ("kitti_fixtures", "frame10.ppm,frame11.ppm,flow10.png"),
     ("real_texture", "frame10.ppm,frame11.ppm,flow10.flo"),
+    # HELD-OUT group (tools/make_holdout_set.py): fresh seed + content
+    # families the tuning never saw.  Reported, never tuned on.
+    ("holdout", "frame10.ppm,frame11.ppm,flow10.flo"),
 ]
 ENGINES = [
     ("dense", []),
@@ -171,11 +174,16 @@ def main():
 
     stamp = datetime.date.today().isoformat()
 
+    from eppm_tpu.config import config_fingerprint
+
+    fingerprint = config_fingerprint()
+
     if len(engines) < len(ENGINES):
         # smoke pass: print machine-readable results, do NOT overwrite
         # the two-engine dossier
         print(json.dumps({
             "commit": commit, "date": stamp, "smoke": True,
+            "config_fingerprint": fingerprint,
             "groups": {f"{ds}/{en}": res
                        for (ds, en), res in results.items()},
             "grove_warp_error": grove,
@@ -200,8 +208,15 @@ def main():
         "",
         "```",
         "python tools/make_eval_set.py --root evalset",
+        "python tools/make_holdout_set.py --root evalset",
         "python tools/eval_report.py --root evalset",
         "```",
+        "",
+        "The `holdout` group is the overfit guard: fresh RNG seed and",
+        "content families absent from every tuning set (flat-color",
+        "Voronoi cartoon cells, anisotropic stripes, sinusoidal smooth",
+        "fields, disk-shaped occluders).  RULE: holdout numbers are",
+        "reported, never used for knob selection.",
         "",
     ]
     for ds, _ in DATASETS:
@@ -276,6 +291,9 @@ def main():
         "commit": commit,
         "date": stamp,
         "border": args.border,
+        # Mechanical gate: tests/test_extras.py fails when this stamp
+        # no longer matches the in-tree DEFAULT_CONFIG.
+        "config_fingerprint": fingerprint,
         "groups": {
             f"{ds}/{en}": res for (ds, en), res in results.items()
         },
