@@ -242,8 +242,15 @@ class MatchConfig:
     global_block: int = 2048
     # Above this many coarse pixels the global proposal grid subsamples
     # by 2 on both frames (N^2 argmax cost; the 1-px proposal loss is
-    # recovered by the final polish sweep).
-    global_stride_threshold: int = 40000
+    # recovered by the final polish sweep).  30000 (round-5, was 40000):
+    # the cost is NOT the matmul (chip-measured free at 32.4k targets)
+    # but the HBM score-panel traffic of the argmax reduction — 4.2 GB
+    # at 32.4k^2, ~10 ms one-way / ~21 ms bidi; stride 2 cuts it 16x.
+    # 1080p's 135x240 coarse level (32.4k) now strides; 640x480-class
+    # (19.2k) and the eval-set coarse levels (<28k) keep stride 1, so
+    # dossier numbers are unaffected.  1080p quality re-checked at the
+    # flip (PERF.md round-5).
+    global_stride_threshold: int = 30000
     # Also run the global matcher at full coarse resolution and merge by
     # true-cost argmin (large-displacement recall).
     global_at_coarse: bool = True
@@ -364,7 +371,24 @@ class RefineConfig:
     # ~0 twice and behave exactly like the reference; smoothly-varying
     # fields (zoom/rotation border wedges) are extrapolated instead of
     # flattened.
-    fill_linear_baseline: int = 0
+    # Default 6 (round-5): measured on the tuning evalset —
+    # zoom_rot 0.680 -> 0.535, layered 2.180 -> 2.169, grove_layered
+    # 0.517 -> 0.515, every other case bit-identical EXCEPT
+    # large_disp_120 0.154 -> 0.183 (+0.03: residual slope noise times
+    # a 30-px constant band; accepted against the -0.145 zoom_rot win —
+    # see PERF.md round-5 notes; 0 restores the reference fill).
+    # b=2 and b=4 are no-ops/marginal: integer NNF quantization hides
+    # sub-1/(2b) slopes, and real coarse-level zoom/rot slopes are
+    # ~0.05-0.1 px/px.
+    fill_linear_baseline: int = 6
+    # Agreement gate of the linear fill's two half-segment slope
+    # estimates (px/px): disagreement falls back to the constant fill.
+    # 0.2 passes a true smooth field's staircase estimates at b=6
+    # (multiples of 1/6 differ by 0 or 0.167) while rejecting the
+    # oscillating-noise pattern (+1/6 vs -1/6 = 0.33) that injected
+    # ramps into constant-field borders (large_disp_120 0.154->0.183 at
+    # the looser 0.35 during bring-up).
+    fill_linear_slope_tol: float = 0.2
     # Majority-correction rounds after the fill-first reconstruction:
     # iterated 3x3 component medians over ALL values, applied to the
     # was-invalid set only.  Wrong scanline-fill picks are streak-

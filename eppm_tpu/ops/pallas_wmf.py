@@ -617,6 +617,7 @@ def wmf_polish_occlusions(
     fill_patch_radius: int = 0,
     accept_thresh: float = 0.0,
     fill_linear_baseline: int = 0,
+    fill_linear_slope_tol: float = 0.3,
 ):
     """Occlusion reconstruction as fill-then-polish (the TPU-native
     answer to the reference's 20 sequential in-place occlusion-WMF
@@ -659,6 +660,7 @@ def wmf_polish_occlusions(
     ftx, fty = fill_holes(
         tx, ty, img, patch_radius=fill_patch_radius,
         linear_baseline=fill_linear_baseline,
+        linear_slope_tol=fill_linear_slope_tol,
     )
     # A diagonal translation invalidates a full-height column band AND a
     # full-width row band; at their intersection all 4 scan directions
@@ -727,6 +729,7 @@ def coarse_occlusion_reconstruct(tx, ty, img, rcfg: RefineConfig):
             fill_patch_radius=rcfg.fill_patch_radius,
             accept_thresh=rcfg.wmf_polish_accept_thresh,
             fill_linear_baseline=rcfg.fill_linear_baseline,
+            fill_linear_slope_tol=rcfg.fill_linear_slope_tol,
         )
         if rcfg.fill_median_rounds > 0:
             # majority correction over the reconstructed holes: wrong

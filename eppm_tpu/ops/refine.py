@@ -434,13 +434,23 @@ def fill_holes(tx, ty, img, patch_radius: int = 0,
                 & jnp.take_along_axis(valid, i2c, axis=axis)
             )
             inv_b = 1.0 / float(b)
+            # Extrapolation reach is deliberately UNCAPPED: capping at
+            # 2b was measured WORSE (zoom_rot 0.535 -> 0.658 — its LR
+            # holes run 30+ coarse px deep and the far half benefits
+            # most) while barely helping the constant-field leak it
+            # aimed at (large_disp_120 0.183 -> 0.177, vs 0.154 with
+            # the fill off; the leak is baseline noise, not reach).
             dist = jnp.abs(coords - nidxc).astype(jnp.float32)
 
             def slope(field, g0):
-                # the NNF is integer-quantized, so per-b differences are
+                # The NNF is integer-quantized, so per-b differences are
                 # a staircase (resolution 1/b): the slope itself comes
                 # from the LONG 2b baseline (half the quantization
                 # noise); the two half-segment estimates only gate it.
+                # A masked-presmoothed slope source measured WORSE than
+                # raw at the same baseline (zoom_rot 0.553 vs 0.535,
+                # layered 2.182 vs 2.169 — blurs across motion edges),
+                # so raw offsets stay.
                 v1 = jnp.take_along_axis(field, i1c, axis=axis)
                 v2 = jnp.take_along_axis(field, i2c, axis=axis)
                 s1 = (g0 - v1) * inv_b
