@@ -389,6 +389,30 @@ class RefineConfig:
     # ramps into constant-field borders (large_disp_120 0.154->0.183 at
     # the looser 0.35 during bring-up).
     fill_linear_slope_tol: float = 0.2
+    # Photometric arbitration of the fill (0 disables): every hole
+    # evaluates the TRUE bilateral AD+census patch cost of each
+    # directional fill candidate (plus its own pre-LR match) against
+    # frame 2, and where the best candidate's cost is below this
+    # threshold the hole adopts the photometric argmin instead of the
+    # color pick.  Rationale (tools/layered_diag.py): over half the
+    # foreground is invalidated by the strict LR check + outlier
+    # removal although it is VISIBLE in both frames — for those pixels
+    # frame-2 appearance identifies the right candidate, while truly
+    # occluded pixels (no frame-2 evidence, all costs high) keep the
+    # color/majority decision, where photometric voting would
+    # systematically pick the WRONG layer (the round-4 negative
+    # result).  Candidates: the 4 directional fill sources plus the
+    # pixel's own pre-LR match, the latter gated by directional
+    # corroboration (ops/pallas_wmf.py::_photometric_arbitrate).
+    # Cost units: normalized AD+census in [0, 2].  Measured (tuning
+    # evalset, CPU, round 5): 0.6 -> layered 2.169->2.112,
+    # large_disp_120 0.183->0.212, zoom_rot 0.535->0.534; 1.0
+    # over-admits catastrophically (large_disp_120 -> 3.06, zoom_rot
+    # -> 1.56 — occluded borders sneak under a loose gate); an
+    # UN-corroborated pre-LR candidate at 0.6 buys layered 2.00 but
+    # costs large_disp_120 1.18 (rejected trade — the corroboration
+    # gate keeps the safe subset).  0 restores the pure color fill.
+    fill_photometric_thresh: float = 0.6
     # Majority-correction rounds after the fill-first reconstruction:
     # iterated 3x3 component medians over ALL values, applied to the
     # was-invalid set only.  Wrong scanline-fill picks are streak-

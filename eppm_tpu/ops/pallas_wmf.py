@@ -611,6 +611,82 @@ def weighted_median_filter_auto(
     )
 
 
+def _photometric_arbitrate(
+    tx, ty, ftx, fty, cands, packs, cost_cfg, thresh: float, orig,
+):
+    """Re-decide each hole's fill by TRUE patch cost where the scene is
+    visible in frame 2.
+
+    The strict LR check + outlier removal invalidate over half the
+    foreground on layered content (tools/layered_diag.py) although those
+    pixels are visible in both frames; for them the frame-2 appearance
+    picks the right candidate where the scanline fill's frame-1 color
+    test is a coin flip.  Truly occluded pixels have NO good candidate
+    (all costs above ``thresh`` — their content does not exist in
+    frame 2) and keep the color/majority fill, where photometric voting
+    systematically prefers the WRONG layer (round-4 negative result,
+    ops/refine.py::fill_holes docstring).
+
+    Candidates: the 4 directional fill sources (slope-extrapolated) plus
+    the pixel's own pre-LR match (``orig`` — exactly right wherever the
+    invalidation was quantization noise rather than occlusion).  Costs
+    come from the exact gather path (ops/cost.py::patch_cost_stack) on
+    the coarse-level packs — a K<=5-field rescore of a ~110x256 level,
+    negligible next to the matcher's own exact stage.
+    """
+    from .cost import make_patch_stack, patch_cost_stack
+
+    p1, p2 = packs
+    h, w = tx.shape
+    h2, w2 = p2.shape[0], p2.shape[1]
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+
+    fields = []
+    for found, gox, goy in cands:
+        ctx = xs + jnp.round(gox).astype(jnp.int32)
+        cty = ys + jnp.round(goy).astype(jnp.int32)
+        fields.append((found, ctx, cty))
+    if orig is not None:
+        # Corroboration gate (zero extra cost evals): the pre-LR match
+        # is admitted only where SOME directional fill source roughly
+        # agrees with it (L-inf <= 2 px).  A mis-invalidated visible
+        # pixel sits among same-surface valid neighbors whose flow
+        # matches its own, so the gate passes; an out-of-frame border
+        # band's pre-LR matches are lone garbage no neighbor seconds
+        # (measured: admitting them un-gated costs large_disp_120
+        # 0.183 -> 1.183 — they score under the cost threshold on
+        # featureless border content).
+        otx, oty = orig
+        agree = jnp.zeros((h, w), bool)
+        for found, ctx, cty in fields:
+            d = jnp.maximum(jnp.abs(ctx - otx), jnp.abs(cty - oty))
+            agree = agree | (found & (d <= 2))
+        fields.append((agree, otx, oty))
+
+    txs = jnp.stack([f[1] for f in fields])
+    tys = jnp.stack([f[2] for f in fields])
+    offs = cost_cfg.tap_offsets
+    stack2 = make_patch_stack(p2, offs)
+    costs = patch_cost_stack(p1, stack2, txs, tys, cost_cfg, offs)
+    for k, (found, ctx, cty) in enumerate(fields):
+        inb = (ctx >= 0) & (ctx < w2) & (cty >= 0) & (cty < h2)
+        costs = costs.at[k].set(
+            jnp.where(found & inb, costs[k], FLT_MAX)
+        )
+    kbest = jnp.argmin(costs, axis=0)
+    cmin = jnp.min(costs, axis=0)
+    btx = jnp.take_along_axis(txs, kbest[None], axis=0)[0]
+    bty = jnp.take_along_axis(tys, kbest[None], axis=0)[0]
+
+    hole = (tx < 0) | (ty < 0)
+    use = hole & (cmin < jnp.float32(thresh))
+    return (
+        jnp.where(use, btx, ftx),
+        jnp.where(use, bty, fty),
+    )
+
+
 def wmf_polish_occlusions(
     tx, ty, img, cfg: RefineConfig = RefineConfig(), num_iter: int = 1,
     dilations: Tuple[int, ...] = (1,),
@@ -618,6 +694,10 @@ def wmf_polish_occlusions(
     accept_thresh: float = 0.0,
     fill_linear_baseline: int = 0,
     fill_linear_slope_tol: float = 0.3,
+    packs=None,
+    cost_cfg=None,
+    fill_cost_thresh: float = 0.0,
+    orig=None,
 ):
     """Occlusion reconstruction as fill-then-polish (the TPU-native
     answer to the reference's 20 sequential in-place occlusion-WMF
@@ -657,11 +737,26 @@ def wmf_polish_occlusions(
     """
     from .refine import fill_holes
 
-    ftx, fty = fill_holes(
-        tx, ty, img, patch_radius=fill_patch_radius,
-        linear_baseline=fill_linear_baseline,
-        linear_slope_tol=fill_linear_slope_tol,
+    arbitrate = (
+        packs is not None and cost_cfg is not None and fill_cost_thresh > 0
     )
+    if arbitrate:
+        ftx, fty, cands = fill_holes(
+            tx, ty, img, patch_radius=fill_patch_radius,
+            linear_baseline=fill_linear_baseline,
+            linear_slope_tol=fill_linear_slope_tol,
+            return_candidates=True,
+        )
+        ftx, fty = _photometric_arbitrate(
+            tx, ty, ftx, fty, cands, packs, cost_cfg,
+            fill_cost_thresh, orig,
+        )
+    else:
+        ftx, fty = fill_holes(
+            tx, ty, img, patch_radius=fill_patch_radius,
+            linear_baseline=fill_linear_baseline,
+            linear_slope_tol=fill_linear_slope_tol,
+        )
     # A diagonal translation invalidates a full-height column band AND a
     # full-width row band; at their intersection all 4 scan directions
     # fail and the fill keeps the INVALID sentinel.  A second fill pass
@@ -705,7 +800,8 @@ def wmf_polish_occlusions(
     return cur
 
 
-def coarse_occlusion_reconstruct(tx, ty, img, rcfg: RefineConfig):
+def coarse_occlusion_reconstruct(tx, ty, img, rcfg: RefineConfig,
+                                 packs=None, cost_cfg=None, orig=None):
     """The coarse level's occlusion chain, shared by the single-chip and
     sharded pipelines: reconstruct LR-invalidated pixels, then the
     optional full-image WMF pass.
@@ -730,6 +826,9 @@ def coarse_occlusion_reconstruct(tx, ty, img, rcfg: RefineConfig):
             accept_thresh=rcfg.wmf_polish_accept_thresh,
             fill_linear_baseline=rcfg.fill_linear_baseline,
             fill_linear_slope_tol=rcfg.fill_linear_slope_tol,
+            packs=packs, cost_cfg=cost_cfg,
+            fill_cost_thresh=rcfg.fill_photometric_thresh,
+            orig=orig,
         )
         if rcfg.fill_median_rounds > 0:
             # majority correction over the reconstructed holes: wrong

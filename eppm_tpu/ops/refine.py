@@ -338,7 +338,8 @@ def weighted_median_filter(
 
 def fill_holes(tx, ty, img, patch_radius: int = 0,
                linear_baseline: int = 0, linear_slope_tol: float = 0.3,
-               linear_max_slope: float = 1.0):
+               linear_max_slope: float = 1.0,
+               return_candidates: bool = False):
     """Fill remaining occlusions from the color-nearest of the first valid
     displacement in each of the 4 scan directions (refine_kernel.cu:297-371).
 
@@ -506,6 +507,13 @@ def fill_holes(tx, ty, img, patch_radius: int = 0,
     fill = occ & any_found
     new_tx = jnp.where(fill, best_ox.astype(jnp.int32) + xs, tx)
     new_ty = jnp.where(fill, best_oy.astype(jnp.int32) + ys, ty)
+    if return_candidates:
+        # (found, gox, goy) per scan direction, offsets already
+        # linear-extrapolated — consumers (the photometric arbitration
+        # in ops/pallas_wmf.py) re-score these against frame 2
+        return new_tx, new_ty, [
+            (found, gox, goy) for (_, gox, goy, found) in dirs
+        ]
     return new_tx, new_ty
 
 

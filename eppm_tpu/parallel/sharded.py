@@ -188,12 +188,15 @@ def _pair_flow_tiled(
             packs2[top], packs1[top], k_bwd, cfg.patchmatch, cfg.cost,
             cfg.cost_tap_chunk,
         )
+    otx, oty = tx1, ty1  # pre-LR matches: arbitration candidates
     tx1, ty1, c1, tx2, ty2, c2 = lr_check(
         tx1, ty1, c1, tx2, ty2, c2, cfg.lr_thresh
     )
     tx1, ty1, c1 = outlier_removal(tx1, ty1, c1, cfg.refine)
     tx1, ty1 = coarse_occlusion_reconstruct(
-        tx1, ty1, levels1[top], cfg.refine
+        tx1, ty1, levels1[top], cfg.refine,
+        packs=(packs1[top], packs2[top]), cost_cfg=cfg.cost,
+        orig=(otx, oty),
     )
     flow_full = nnf_to_flow(tx1, ty1)  # replicated coarse flow
 

@@ -145,12 +145,15 @@ def compute_flow(
             packs2[top], packs1[top], k_bwd, cfg.patchmatch, cfg.cost,
             cfg.cost_tap_chunk,
         )
+    otx, oty = tx1, ty1  # pre-LR matches: arbitration candidates
     tx1, ty1, c1, tx2, ty2, c2 = lr_check(
         tx1, ty1, c1, tx2, ty2, c2, cfg.lr_thresh
     )
     tx1, ty1, c1 = outlier_removal(tx1, ty1, c1, cfg.refine)
     tx1, ty1 = coarse_occlusion_reconstruct(
-        tx1, ty1, levels1[top], cfg.refine
+        tx1, ty1, levels1[top], cfg.refine,
+        packs=(packs1[top], packs2[top]), cost_cfg=cfg.cost,
+        orig=(otx, oty),
     )
     flow = nnf_to_flow(tx1, ty1)
 
@@ -240,14 +243,22 @@ def _match_stage_bidi(lvl1, lvl2, pk1, pk2, key, cfg, init_flow=None):
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def _coarse_refine_stage(m1, m2, img_top, cfg):
+def _coarse_refine_stage(m1, m2, img_top, cfg, pack_top1=None,
+                         pack_top2=None):
     tx1, ty1, c1 = m1
     tx2, ty2, c2 = m2
+    otx, oty = tx1, ty1  # pre-LR matches: arbitration candidates
     tx1, ty1, c1, tx2, ty2, c2 = lr_check(
         tx1, ty1, c1, tx2, ty2, c2, cfg.lr_thresh
     )
     tx1, ty1, c1 = outlier_removal(tx1, ty1, c1, cfg.refine)
-    tx1, ty1 = coarse_occlusion_reconstruct(tx1, ty1, img_top, cfg.refine)
+    packs = (
+        (pack_top1, pack_top2) if pack_top1 is not None else None
+    )
+    tx1, ty1 = coarse_occlusion_reconstruct(
+        tx1, ty1, img_top, cfg.refine,
+        packs=packs, cost_cfg=cfg.cost, orig=(otx, oty),
+    )
     return nnf_to_flow(tx1, ty1)
 
 
@@ -340,7 +351,9 @@ def compute_flow_jit(img1, img2, key=None, cfg=DEFAULT_CONFIG,
         levels1[top], levels2[top], packs1[top], packs2[top], key, cfg,
         init_flow=ci,
     )
-    flow = _coarse_refine_stage(m1, m2, levels1[top], cfg)
+    flow = _coarse_refine_stage(
+        m1, m2, levels1[top], cfg, packs1[top], packs2[top]
+    )
     for lvl in range(top - 1, -1, -1):
         oh, ow = packs1[lvl].shape[0], packs1[lvl].shape[1]
         n = cfg.dense_refine_passes
