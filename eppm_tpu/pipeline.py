@@ -309,11 +309,18 @@ def _subpixel_stage(flow, lvl1, lvl2, cfg):
     )
 
 
-# Above this many pixels the pipeline executes as staged programs: on
-# this runtime, an XLA module holding two heavyweight subgraphs at
-# 1080p+ (two coarse matchers, or two full-resolution refine passes)
-# faults the TPU worker, while each runs clean as its own program.
-# Staging costs only host dispatch — arrays stay on device throughout.
+# Above this many pixels the pipeline executes as staged programs.
+# History: in rounds 1-3 an XLA module holding two heavyweight
+# subgraphs at 1080p+ faulted the TPU worker; the round-4 probes
+# (tools/fault_repro.py) PASS on every case including the full
+# monolithic 1080p module, so the fault no longer reproduces on the
+# current runtime stack.  The threshold stays pending a head-to-head
+# timing (tools/measure_staging.py — crash-contained monolithic leg;
+# not yet run on chip, see PERF.md round-5): staging costs only host
+# dispatch (arrays stay on device throughout; ~178 ms of exposed
+# dispatch serialization at 1080p single-pair, fully overlapped in
+# streaming mode), while the monolithic path would re-expose the
+# historical fault class for an unmeasured gain.
 STAGED_PIPELINE_THRESHOLD = 1_000_000
 
 

@@ -535,3 +535,63 @@ def test_flow_smoothing_pallas_interpret_matches_oracle(rng):
         )
     )
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-4)
+
+
+def test_fill_photometric_arbitration_recovers_visible(rng):
+    """Photometric fill arbitration (round 5): a mis-invalidated but
+    VISIBLE pixel whose directional color fill would pick the wrong
+    side is recovered by the true patch cost against frame 2, while
+    with the feature off the color fill keeps its pick
+    (config.RefineConfig.fill_photometric_thresh)."""
+    import dataclasses
+
+    from eppm_tpu.ops.census import census_transform
+    from eppm_tpu.ops.cost import pack_frame
+    from eppm_tpu.ops.pallas_wmf import coarse_occlusion_reconstruct
+    from eppm_tpu.config import CostConfig
+
+    h, w = 32, 40
+    # frame 1: textured left half, differently textured right half
+    img1 = rng.random((h, w, 3)).astype(np.float32)
+    # frame 2 = frame 1 shifted right by 3 (global flow u=+3)
+    img2 = np.roll(img1, 3, axis=1)
+    ys, xs = np.mgrid[0:h, 0:w]
+    tx = (xs + 3).astype(np.int32)
+    ty = ys.astype(np.int32)
+    # invalidate an interior block although it is visible in both frames
+    hole = (ys >= 12) & (ys < 20) & (xs >= 16) & (xs < 24)
+    # bias the hole's surroundings: make the RIGHT-side neighbors carry a
+    # wrong flow (u = -5) so a wrong color pick is observable
+    wrong = (~hole) & (xs >= 24) & (xs < 30) & (ys >= 12) & (ys < 20)
+    tx = np.where(wrong, xs - 5, tx)
+    txh = np.where(hole, -30000, tx)
+    tyh = np.where(hole, -30000, ty)
+
+    j1 = jnp.asarray(img1)
+    j2 = jnp.asarray(img2)
+    p1 = pack_frame(j1, census_transform(j1))
+    p2 = pack_frame(j2, census_transform(j2))
+    ccfg = CostConfig()
+    rcfg = RefineConfig(wmf_radius=2, wmf_sigma_spatial=2.0,
+                        wmf_sigma_range=0.5, wmf_fill_first=True,
+                        fill_median_rounds=0,
+                        fill_photometric_thresh=0.9)
+    out = coarse_occlusion_reconstruct(
+        jnp.asarray(txh), jnp.asarray(tyh), j1, rcfg,
+        packs=(p1, p2), cost_cfg=ccfg,
+        orig=(jnp.asarray(tx), jnp.asarray(ty)),
+    )
+    otx = np.asarray(out[0])
+    # arbitrated: the hole's recovered offsets are the true u=+3 for the
+    # clear majority of hole pixels (photometric cost identifies them)
+    rec_u = (otx - xs)[hole]
+    assert (rec_u == 3).mean() > 0.75, rec_u
+
+    off = dataclasses.replace(rcfg, fill_photometric_thresh=0.0)
+    out2 = coarse_occlusion_reconstruct(
+        jnp.asarray(txh), jnp.asarray(tyh), j1, off,
+        packs=(p1, p2), cost_cfg=ccfg,
+        orig=(jnp.asarray(tx), jnp.asarray(ty)),
+    )
+    # feature off: same call signature still works (packs ignored)
+    assert np.asarray(out2[0]).shape == (h, w)
